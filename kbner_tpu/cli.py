@@ -1,0 +1,202 @@
+"""Command-line entry point.
+
+Mirrors the reference's ``train.py`` surface (``/root/reference/train.py``):
+
+  python -m kbner_tpu.cli train   --config cfg.yaml
+  python -m kbner_tpu.cli test    --config cfg.yaml
+  python -m kbner_tpu.cli parse   --config cfg.yaml --target_dir D [--keep_order]
+  python -m kbner_tpu.cli retrieve --kb kb.jsonl --data_folder D --out OUT
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+from pathlib import Path
+
+import jax
+
+
+def _setup_logging(target_dir: Path | None = None):
+    handlers = [logging.StreamHandler(sys.stdout)]
+    if target_dir is not None:
+        target_dir.mkdir(parents=True, exist_ok=True)
+        handlers.append(logging.FileHandler(target_dir / "training.log"))
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(message)s",
+        handlers=handlers,
+    )
+
+
+def _build(config):
+    """Construct (corpus, tokenizer, tag_dict, model, params, trainer)."""
+    import jax.numpy as jnp
+
+    from .data.encode import encode_batch
+    from .data.dictionary import Dictionary
+    from .models import TaggerConfig, init_tagger, load_hf_checkpoint
+    from .train import FinetuneTrainer
+
+    corpus = config.load_corpus()
+    tokenizer = config.make_tokenizer()
+
+    target_dir = config.resolve_target_dir()
+    tag_dict_path = target_dir / "tag_dictionary.json"
+    if tag_dict_path.exists():
+        # persist tag indexing across stages (config_parser.py:108-119)
+        tag_dict = Dictionary.load(tag_dict_path)
+    else:
+        tag_dict = corpus.make_tag_dictionary(config.tag_layer)
+
+    enc_cfg = config.make_encoder_config(tokenizer)
+    tagger_cfg = TaggerConfig.for_tag_dictionary(
+        enc_cfg, tag_dict,
+        use_crf=config.model.get("use_crf", True),
+        locked_dropout=config.model.get("locked_dropout", 0.5),
+        word_dropout=config.model.get("word_dropout", 0.05),
+    )
+    sample = corpus.train[:2] or corpus.dev_list[0][:2]
+    example = encode_batch(sample, tokenizer, tag_dict,
+                           tag_layer=config.tag_layer)
+    model, params = init_tagger(
+        tagger_cfg, jax.random.PRNGKey(0),
+        {k: jnp.asarray(v) for k, v in example.arrays().items()})
+
+    weights_dir = config.model.get("encoder_weights")
+    if weights_dir:
+        loaded = load_hf_checkpoint(Path(weights_dir), enc_cfg)
+        params["params"]["encoder"] = loaded["params"]
+
+    trainer = FinetuneTrainer(
+        model, params, corpus, tokenizer, tag_dict,
+        tag_layer=config.tag_layer)
+    return corpus, tokenizer, tag_dict, model, trainer
+
+
+def cmd_train(args):
+    from .config import ExperimentConfig
+
+    config = ExperimentConfig.from_file(args.config)
+    target_dir = config.resolve_target_dir()
+    _setup_logging(target_dir)
+    corpus, tokenizer, tag_dict, model, trainer = _build(config)
+    result = trainer.train(target_dir, config.make_train_config())
+    logging.info("best dev score: %s", result["best_dev_score"])
+    trainer.final_test(target_dir)
+
+
+def cmd_test(args):
+    from .config import ExperimentConfig
+
+    config = ExperimentConfig.from_file(args.config)
+    target_dir = config.resolve_target_dir()
+    _setup_logging(target_dir)
+    corpus, tokenizer, tag_dict, model, trainer = _build(config)
+    results = trainer.final_test(target_dir)
+    print(json.dumps(results, indent=2))
+
+
+def cmd_parse(args):
+    from .config import ExperimentConfig
+    from .data.conll import read_column_file, write_column_file
+
+    config = ExperimentConfig.from_file(args.config)
+    target_dir = config.resolve_target_dir()
+    _setup_logging(None)
+    corpus, tokenizer, tag_dict, model, trainer = _build(config)
+    best = target_dir / "best-model.msgpack"
+    final = target_dir / "final-model.msgpack"
+    trainer.load(best if best.exists() else final)
+
+    column_format = config.corpora[0].column_format
+    comment = config.corpora[0].comment_symbol
+    data_dir = Path(args.target_dir)
+    files = sorted(data_dir.glob("*.txt")) if data_dir.is_dir() else [data_dir]
+    for f in files:
+        records = read_column_file(
+            f, column_format, comment_symbol=comment, tag_to_bioes=None)
+        preds = trainer.predict(
+            records, sort_by_length=not args.keep_order)
+        for rec, pred in zip(records, preds):
+            rec.tags["pred"] = pred
+        out = Path(args.out_dir or data_dir) / (f.stem + ".conllu")
+        write_column_file(out, records, layers=("pred",))
+        logging.info("wrote %s", out)
+
+
+def cmd_retrieve(args):
+    """Build/load a KB and produce a context-augmented dataset."""
+    from .data.conll import read_column_file, write_column_file
+    from .data.subword import HashTokenizer
+    from .retrieval.engine import RetrievalEngine
+    from .retrieval.fusion import fuse_contexts
+    from .retrieval.pipeline import (
+        build_kb_from_jsonl,
+        retrieve_for_records,
+        write_retrieval_file,
+    )
+
+    _setup_logging(None)
+    text_index, store, title_index = build_kb_from_jsonl(
+        args.kb, lang=args.lang)
+    engine = RetrievalEngine(text_index, store=store, title_index=title_index)
+    tokenizer = HashTokenizer(vocab_size=250002)  # budget proxy w/o HF files
+
+    data_dir = Path(args.data_folder)
+    out_dir = Path(args.out)
+    for split in ("train", "dev", "test"):
+        f = data_dir / f"{split}.txt"
+        if not f.exists():
+            continue
+        records = read_column_file(
+            f, {0: "text", 1: "ner"}, comment_symbol=args.comment_symbol,
+            tag_to_bioes=None)
+        results = retrieve_for_records(
+            engine, records, k=args.k, lang=args.lang,
+            with_entity=args.with_entity)
+        write_retrieval_file(
+            out_dir / f"{split}.retrieval.tsv", records, results, args.lang)
+        fused = fuse_contexts(
+            records, results, tokenizer, mode=args.mode,
+            drop_over_budget_train=(split == "train"))
+        write_column_file(out_dir / f"{split}.txt", fused, layers=("ner",))
+        logging.info("%s: %d sentences fused", split, len(fused))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="kbner_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    for name, fn in (("train", cmd_train), ("test", cmd_test)):
+        sp = sub.add_parser(name)
+        sp.add_argument("--config", required=True)
+        sp.set_defaults(fn=fn)
+
+    sp = sub.add_parser("parse")
+    sp.add_argument("--config", required=True)
+    sp.add_argument("--target_dir", required=True)
+    sp.add_argument("--out_dir")
+    sp.add_argument("--keep_order", action="store_true")
+    sp.set_defaults(fn=cmd_parse)
+
+    sp = sub.add_parser("retrieve")
+    sp.add_argument("--kb", required=True, help="parsed-wiki JSONL")
+    sp.add_argument("--data_folder", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--lang", default="en")
+    sp.add_argument("--k", type=int, default=10)
+    sp.add_argument("--mode", default="sentence_link",
+                    choices=["paragraph", "sentence_link", "sentence"])
+    sp.add_argument("--with_entity", action="store_true")
+    sp.add_argument("--comment_symbol", default="# id")
+    sp.set_defaults(fn=cmd_retrieve)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

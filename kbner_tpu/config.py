@@ -1,0 +1,145 @@
+"""YAML config system.
+
+Keeps the *semantics* of the reference's config surface
+(``/root/reference/flair/config_parser.py``: corpus blocks, embedding block,
+model block, train block, trainer name) so reference configs translate 1:1,
+but replaces reflection-on-class-names with explicit dataclasses.
+
+Example::
+
+    name: en-xlmr-crf
+    corpora:
+      - name: EN-English
+        data_folder: data/EN-English_conll_rank_eos_doc_full_wiki_v3
+        column_format: {0: text, 3: ner}
+        comment_symbol: "# id"
+    tag_layer: ner
+    tokenizer: {type: hash, vocab_size: 50000}   # or {type: hf, dir: ...}
+    model:
+      encoder: base            # tiny | base | large | /path/to/hf_dir
+      encoder_weights: null    # optional HF checkpoint dir
+      use_crf: true
+      locked_dropout: 0.5
+      word_dropout: 0.05
+    train:
+      learning_rate: 5.0e-6
+      lr_rate: 10000
+      batch_size: 16
+      max_epochs: 10
+    target_dir: resources/taggers/en-xlmr-crf
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+from .data.conll import Corpus, ListCorpus, load_column_corpus
+from .data.dictionary import Dictionary
+from .data.subword import HashTokenizer, HFTokenizer
+from .models.xlmr import XLMRConfig
+from .train.trainer import TrainConfig
+
+
+@dataclasses.dataclass
+class CorpusSpec:
+    name: str
+    data_folder: str
+    column_format: Dict[int, str]
+    comment_symbol: Optional[str] = None
+    train_file: str = "train.txt"
+    dev_file: str = "dev.txt"
+    test_file: str = "test.txt"
+    tag_to_bioes: Optional[str] = "ner"
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    name: str
+    corpora: List[CorpusSpec]
+    tag_layer: str = "ner"
+    tokenizer: Dict[str, Any] = dataclasses.field(
+        default_factory=lambda: {"type": "hash", "vocab_size": 50000})
+    model: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    train: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    target_dir: Optional[str] = None
+    trainer: str = "FinetuneTrainer"
+
+    @classmethod
+    def from_file(cls, path: str | Path) -> "ExperimentConfig":
+        raw = yaml.safe_load(Path(path).read_text())
+        return cls.from_dict(raw)
+
+    @classmethod
+    def from_dict(cls, raw: Dict[str, Any]) -> "ExperimentConfig":
+        corpora = [
+            CorpusSpec(
+                name=c["name"],
+                data_folder=c["data_folder"],
+                column_format={int(k): v for k, v in c["column_format"].items()},
+                comment_symbol=c.get("comment_symbol"),
+                train_file=c.get("train_file", "train.txt"),
+                dev_file=c.get("dev_file", "dev.txt"),
+                test_file=c.get("test_file", "test.txt"),
+                tag_to_bioes=c.get("tag_to_bioes", "ner"),
+            )
+            for c in raw["corpora"]
+        ]
+        return cls(
+            name=raw.get("name", "experiment"),
+            corpora=corpora,
+            tag_layer=raw.get("tag_layer", "ner"),
+            tokenizer=raw.get("tokenizer", {"type": "hash",
+                                            "vocab_size": 50000}),
+            model=raw.get("model", {}),
+            train=raw.get("train", {}),
+            target_dir=raw.get("target_dir"),
+            trainer=raw.get("trainer", "FinetuneTrainer"),
+        )
+
+    # -- factories -----------------------------------------------------------
+
+    def load_corpus(self) -> ListCorpus:
+        corpora = [
+            load_column_corpus(
+                spec.data_folder, spec.column_format,
+                train_file=spec.train_file, dev_file=spec.dev_file,
+                test_file=spec.test_file, comment_symbol=spec.comment_symbol,
+                tag_to_bioes=spec.tag_to_bioes, name=spec.name,
+            )
+            for spec in self.corpora
+        ]
+        return ListCorpus(corpora)
+
+    def make_tokenizer(self):
+        t = dict(self.tokenizer)
+        kind = t.pop("type", "hash")
+        if kind == "hash":
+            return HashTokenizer(**t)
+        if kind == "hf":
+            return HFTokenizer(t["dir"])
+        raise ValueError(f"unknown tokenizer type {kind!r}")
+
+    def make_encoder_config(self, tokenizer=None) -> XLMRConfig:
+        enc = self.model.get("encoder", "base")
+        kwargs: Dict[str, Any] = {}
+        if tokenizer is not None and self.tokenizer.get("type") == "hash":
+            kwargs["vocab_size"] = tokenizer.vocab_size
+        if enc == "tiny":
+            return XLMRConfig.tiny(**kwargs)
+        if enc == "base":
+            return XLMRConfig.base(**kwargs)
+        if enc == "large":
+            return XLMRConfig.large(**kwargs)
+        return XLMRConfig.from_hf_config(Path(enc) / "config.json")
+
+    def make_train_config(self) -> TrainConfig:
+        known = {f.name for f in dataclasses.fields(TrainConfig)}
+        kwargs = {k: v for k, v in self.train.items() if k in known}
+        return TrainConfig(**kwargs)
+
+    def resolve_target_dir(self) -> Path:
+        return Path(self.target_dir or f"resources/taggers/{self.name}")

@@ -9,6 +9,8 @@ from .conll import (
     read_column_file,
     write_column_file,
 )
+from .subword import HashTokenizer, HFTokenizer, SubwordTokenizer, subtoken_length
+from .encode import EncodedBatch, encode_batch, make_batches
 from .tag_schemes import (
     TagSpan,
     bioes_to_bio,

@@ -1,0 +1,178 @@
+"""Sentence records -> padded device arrays.
+
+This is the boundary between the host-side object world and the array world:
+everything downstream of here is static-shaped JAX. Replaces the reference's
+per-token ``_embeddings`` dicts and batch-level ``features`` caches
+(``embeddings.py:61-124``) with explicit arrays:
+
+  input_ids [B, S]       subtoken ids incl CLS/SEP
+  attention_mask [B, S]  1 for real subtokens
+  word_starts [B, W]     subtoken index of each word's first subtoken
+  word_mask [B, W]       1 for real words
+  tag_ids [B, W]         gold tag indices (pad: 0)
+  crf_mask [B, W]        word_mask minus retrieved-context (X) positions --
+                         drives transition-skip masking in the CRF, the
+                         static-shape equivalent of the reference's remove_x
+                         compaction (sequence_tagger_model.py:2448-2506)
+  lang_ids [B]           source-corpus id (per-language CRF variants)
+
+The ``<EOS>`` context separator word is encoded as the tokenizer's real SEP
+token, mirroring the reference's placeholder swap (embeddings.py:3139-3165).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .conll import EOS_MARKER, SentenceRecord
+from .dictionary import Dictionary
+from .subword import SubwordTokenizer
+
+
+@dataclasses.dataclass
+class EncodedBatch:
+    input_ids: np.ndarray
+    attention_mask: np.ndarray
+    word_starts: np.ndarray
+    word_mask: np.ndarray
+    tag_ids: np.ndarray
+    crf_mask: np.ndarray
+    lang_ids: np.ndarray
+    records: Optional[List[SentenceRecord]] = None
+
+    @property
+    def num_sentences(self) -> int:
+        return self.input_ids.shape[0]
+
+    def arrays(self) -> Dict[str, np.ndarray]:
+        return {
+            "input_ids": self.input_ids,
+            "attention_mask": self.attention_mask,
+            "word_starts": self.word_starts,
+            "word_mask": self.word_mask,
+            "tag_ids": self.tag_ids,
+            "crf_mask": self.crf_mask,
+            "lang_ids": self.lang_ids,
+        }
+
+
+def round_up(x: int, multiple: int) -> int:
+    return ((x + multiple - 1) // multiple) * multiple
+
+
+def encode_batch(
+    records: Sequence[SentenceRecord],
+    tokenizer: SubwordTokenizer,
+    tag_dict: Optional[Dictionary] = None,
+    tag_layer: str = "ner",
+    max_subtokens: int = 512,
+    subtoken_bucket: int = 16,
+    word_bucket: int = 8,
+    x_tag: str = "S-X",
+    keep_records: bool = True,
+) -> EncodedBatch:
+    """Encode a list of sentences into one padded batch.
+
+    Sequences longer than ``max_subtokens`` are truncated at a word boundary
+    (training drops over-budget sentences upstream; the KB pipeline enforces a
+    510-subtoken budget at data-generation time, context_process.py:974).
+    """
+    B = len(records)
+    per_sentence = []
+    for rec in records:
+        sub_ids: List[int] = [tokenizer.cls_id]
+        starts: List[int] = []
+        n_words = 0
+        for word in rec.tokens:
+            ids = ([tokenizer.sep_id] if word == EOS_MARKER
+                   else tokenizer.encode_word(word))
+            if len(sub_ids) + len(ids) + 1 > max_subtokens:
+                break
+            starts.append(len(sub_ids))
+            sub_ids.extend(ids)
+            n_words += 1
+        sub_ids.append(tokenizer.sep_id)
+        per_sentence.append((sub_ids, starts, n_words))
+
+    S = round_up(max(len(s[0]) for s in per_sentence), subtoken_bucket)
+    W = round_up(max(s[2] for s in per_sentence), word_bucket)
+    S = min(S, max_subtokens)
+
+    input_ids = np.full((B, S), tokenizer.pad_id, dtype=np.int32)
+    attention_mask = np.zeros((B, S), dtype=np.int32)
+    word_starts = np.zeros((B, W), dtype=np.int32)
+    word_mask = np.zeros((B, W), dtype=np.int32)
+    tag_ids = np.zeros((B, W), dtype=np.int32)
+    crf_mask = np.zeros((B, W), dtype=np.int32)
+    lang_ids = np.zeros((B,), dtype=np.int32)
+
+    for b, (rec, (sub_ids, starts, n_words)) in enumerate(zip(records, per_sentence)):
+        L = len(sub_ids)
+        input_ids[b, :L] = sub_ids
+        attention_mask[b, :L] = 1
+        word_starts[b, :n_words] = starts
+        word_mask[b, :n_words] = 1
+        lang_ids[b] = rec.lang_id
+        tags = rec.tags.get(tag_layer)
+        # Everything from <EOS> onward is retrieved context: masked from the
+        # CRF whether or not gold tags are present (unlabeled prediction).
+        eos = rec.eos_index
+        for w in range(n_words):
+            is_x = (tags is not None and w < len(tags) and tags[w] == x_tag) \
+                or (eos >= 0 and w >= eos)
+            crf_mask[b, w] = 0 if is_x else 1
+            if tag_dict is not None and tags is not None and w < len(tags):
+                if is_x:
+                    # masked positions never reach the loss; tolerate tags
+                    # missing from the dictionary (e.g. S-X when the tagset
+                    # was built on context-free data)
+                    tag_ids[b, w] = tag_dict.item2idx.get(tags[w], 0)
+                else:
+                    tag_ids[b, w] = tag_dict.get_idx_for_item(tags[w])
+
+    return EncodedBatch(
+        input_ids=input_ids,
+        attention_mask=attention_mask,
+        word_starts=word_starts,
+        word_mask=word_mask,
+        tag_ids=tag_ids,
+        crf_mask=crf_mask,
+        lang_ids=lang_ids,
+        records=list(records) if keep_records else None,
+    )
+
+
+def make_batches(
+    records: Sequence[SentenceRecord],
+    tokenizer: SubwordTokenizer,
+    tag_dict: Optional[Dictionary],
+    batch_size: int,
+    shuffle: bool = False,
+    seed: int = 0,
+    sort_by_length: bool = True,
+    **encode_kwargs,
+) -> List[EncodedBatch]:
+    """Length-sorted fixed-size batching.
+
+    Mirrors ``ColumnDataLoader``'s subtoken-length sort + sentence-level
+    batching (``custom_data_loader.py:82-122``): sorting keeps pad waste and
+    shape-bucket churn low; shuffling permutes whole batches, preserving the
+    within-batch homogeneity.
+    """
+    from .subword import subtoken_length
+
+    order = list(range(len(records)))
+    if sort_by_length:
+        order.sort(key=lambda i: subtoken_length(tokenizer, records[i].tokens))
+    chunks = [order[i:i + batch_size] for i in range(0, len(order), batch_size)]
+    if shuffle:
+        rng = np.random.RandomState(seed)
+        rng.shuffle(chunks)
+    return [
+        encode_batch([records[i] for i in chunk], tokenizer, tag_dict,
+                     **encode_kwargs)
+        for chunk in chunks
+    ]

@@ -1,0 +1,202 @@
+"""Sequence tagger: XLM-R encoder + first-subtoken pooling + emission + CRF.
+
+The TPU-native counterpart of the reference's ``FastSequenceTagger``
+(``/root/reference/flair/models/sequence_tagger_model.py:1823-2849``), as a
+pure-function Flax model over arrays:
+
+  - encoder hidden states -> gather word-start positions (first-subtoken
+    pooling, the reference default ``embeddings.py:3318-3331``),
+  - optional ``embedding2nn`` re-projection (``:310-315``),
+  - locked dropout / word dropout (``flair/nn.py:142-187``),
+  - linear emission scores over the tagset,
+  - CRF with learned transitions; START/STOP constraint scores fixed at
+    -10000 as in the reference (``:390-410``),
+  - loss = mean per-sentence CRF NLL with transition-skip masking standing in
+    for remove_x compaction (``:2448-2506``), or masked token CE when
+    ``use_crf=False`` (``:2517-2538``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.crf import crf_decode, crf_marginals, crf_neg_log_likelihood
+from .xlmr import XLMRConfig, XLMREncoder
+
+NO_TRANS = -10000.0
+
+
+@dataclasses.dataclass(frozen=True)
+class TaggerConfig:
+    encoder: XLMRConfig
+    num_tags: int  # includes <START>/<STOP> as the last two indices
+    start_idx: int
+    stop_idx: int
+    use_crf: bool = True
+    relearn_embeddings: bool = True  # embedding2nn
+    locked_dropout: float = 0.5
+    word_dropout: float = 0.05
+
+    @classmethod
+    def for_tag_dictionary(cls, encoder: XLMRConfig, tag_dict, **kw):
+        n = len(tag_dict)
+        return cls(
+            encoder=encoder,
+            num_tags=n,
+            start_idx=tag_dict.get_idx_for_item("<START>"),
+            stop_idx=tag_dict.get_idx_for_item("<STOP>"),
+            **kw,
+        )
+
+
+class SequenceTagger(nn.Module):
+    config: TaggerConfig
+
+    def setup(self):
+        cfg = self.config
+        self.encoder = XLMREncoder(cfg.encoder, name="encoder")
+        if cfg.relearn_embeddings:
+            self.embedding2nn = nn.Dense(
+                cfg.encoder.hidden_size, dtype=cfg.encoder.dtype,
+                name="embedding2nn")
+        self.emission = nn.Dense(cfg.num_tags, dtype=jnp.float32,
+                                 name="emission")
+        if cfg.use_crf:
+            # transitions[i, j] = score FROM i TO j; constraints into START
+            # and out of STOP are applied additively in `transition_matrix`.
+            self.transitions = self.param(
+                "transitions",
+                nn.initializers.normal(stddev=1.0),
+                (cfg.num_tags, cfg.num_tags),
+            )
+
+    def transition_matrix(self) -> jnp.ndarray:
+        cfg = self.config
+        t = self.transitions
+        # nothing transitions INTO <START>; nothing transitions OUT of <STOP>
+        t = t.at[:, cfg.start_idx].set(NO_TRANS)
+        t = t.at[cfg.stop_idx, :].set(NO_TRANS)
+        return t
+
+    def _word_features(
+        self,
+        input_ids: jnp.ndarray,  # [B, S]
+        attention_mask: jnp.ndarray,  # [B, S]
+        word_starts: jnp.ndarray,  # [B, W]
+        word_mask: jnp.ndarray,  # [B, W]
+        deterministic: bool,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        hidden, _ = self.encoder(input_ids, attention_mask,
+                                 deterministic=deterministic)
+        # first-subtoken gather: word w of sentence b -> hidden[b, starts[b,w]]
+        feats = jnp.take_along_axis(
+            hidden, word_starts[:, :, None], axis=1)  # [B, W, H]
+        feats = feats * word_mask[:, :, None].astype(feats.dtype)
+
+        if not deterministic and cfg.word_dropout > 0:
+            # WordDropout (flair/nn.py:166-187): zero whole word vectors.
+            drop = jax.random.bernoulli(
+                self.make_rng("dropout"), cfg.word_dropout,
+                (feats.shape[0], feats.shape[1], 1))
+            feats = jnp.where(drop, 0.0, feats)
+        if cfg.relearn_embeddings:
+            feats = self.embedding2nn(feats)
+        if not deterministic and cfg.locked_dropout > 0:
+            # LockedDropout (flair/nn.py:142-163): one mask per feature
+            # channel shared across the time axis.
+            keep = 1.0 - cfg.locked_dropout
+            mask = jax.random.bernoulli(
+                self.make_rng("dropout"), keep,
+                (feats.shape[0], 1, feats.shape[2]))
+            feats = feats * mask / keep
+        return feats
+
+    def emissions(self, input_ids, attention_mask, word_starts, word_mask,
+                  deterministic: bool = True) -> jnp.ndarray:
+        feats = self._word_features(
+            input_ids, attention_mask, word_starts, word_mask, deterministic)
+        return self.emission(feats.astype(jnp.float32))  # [B, W, K]
+
+    def __call__(self, input_ids, attention_mask, word_starts, word_mask,
+                 deterministic: bool = True):
+        return self.emissions(input_ids, attention_mask, word_starts,
+                              word_mask, deterministic)
+
+    # -- losses ---------------------------------------------------------------
+
+    def loss(
+        self,
+        batch: Dict[str, jnp.ndarray],
+        deterministic: bool = False,
+        return_emissions: bool = False,
+    ):
+        """Mean per-sentence loss (reference `_calculate_loss`, :2426-2506)."""
+        cfg = self.config
+        emissions = self.emissions(
+            batch["input_ids"], batch["attention_mask"],
+            batch["word_starts"], batch["word_mask"],
+            deterministic=deterministic)
+        if cfg.use_crf:
+            nll = crf_neg_log_likelihood(
+                emissions, batch["tag_ids"], batch["crf_mask"],
+                self.transition_matrix(), cfg.start_idx, cfg.stop_idx)
+            loss = jnp.mean(nll)
+        else:
+            logp = jax.nn.log_softmax(emissions, axis=-1)
+            gold = jnp.take_along_axis(
+                logp, batch["tag_ids"][:, :, None], axis=2)[..., 0]
+            mask = batch["crf_mask"].astype(jnp.float32)
+            loss = -jnp.sum(gold * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+        if return_emissions:
+            return loss, emissions
+        return loss
+
+    # -- decoding -------------------------------------------------------------
+
+    def decode(
+        self, batch: Dict[str, jnp.ndarray], pad_tag: int = 0
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Viterbi (or argmax) tags [B, W] + scores [B]."""
+        cfg = self.config
+        emissions = self.emissions(
+            batch["input_ids"], batch["attention_mask"],
+            batch["word_starts"], batch["word_mask"], deterministic=True)
+        if cfg.use_crf:
+            return crf_decode(
+                emissions, batch["crf_mask"], self.transition_matrix(),
+                cfg.start_idx, cfg.stop_idx, pad_tag=pad_tag)
+        tags = jnp.argmax(emissions, axis=-1).astype(jnp.int32)
+        score = jnp.max(jax.nn.log_softmax(emissions, -1), axis=-1).sum(-1)
+        tags = jnp.where(batch["crf_mask"].astype(bool), tags, pad_tag)
+        return tags, score
+
+    def marginals(self, batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        """Posterior tag marginals (posterior distillation / multi-view)."""
+        cfg = self.config
+        emissions = self.emissions(
+            batch["input_ids"], batch["attention_mask"],
+            batch["word_starts"], batch["word_mask"], deterministic=True)
+        if cfg.use_crf:
+            return crf_marginals(
+                emissions, batch["crf_mask"], self.transition_matrix(),
+                cfg.start_idx, cfg.stop_idx)
+        return jax.nn.softmax(emissions, axis=-1)
+
+
+def init_tagger(
+    config: TaggerConfig, rng: jax.Array, example: Dict[str, jnp.ndarray]
+) -> Any:
+    model = SequenceTagger(config)
+    params = model.init(
+        {"params": rng},
+        example["input_ids"], example["attention_mask"],
+        example["word_starts"], example["word_mask"],
+        deterministic=True,
+    )
+    return model, params

@@ -1,0 +1,210 @@
+"""BM25 scoring kernels: blockwise match-and-accumulate with fused top-k.
+
+The device-side replacement for Lucene's term-at-a-time scorer inside
+Elasticsearch (reached over HTTP at ``kb/generate_data.py:33-68``). Classic
+posting-list traversal is gather/scatter-shaped and TPU-hostile; instead the
+index is laid out as dense padded per-document (term-id, impact) slots
+(see ``retrieval/index.py``) and scoring is an exhaustive, perfectly regular
+compare-multiply-reduce over document blocks:
+
+  score[q, d] = sum_j sum_l impacts[d, j] * w[q, l] * (terms[d, j] == qt[q, l])
+
+This is exact BM25 (100% recall parity by construction). Doc arrays are kept
+transposed ([Ld, N]) so the document axis lies on the 128-lane dimension.
+
+Multi-field queries (ES ``bool.should`` with ``match(text=...)`` plus
+``match(title=entity, boost=2.0)``, ``generate_data.py:52-55``) are score
+sums over fields; ``bm25_topk`` takes a tuple of per-field operands and adds
+their scores before the top-k.
+
+Two implementations with identical semantics:
+  * :func:`bm25_score_block_xla` — pure jnp equality-einsum (CPU tests and
+    XLA-autofused baseline),
+  * :func:`bm25_score_block_pallas` — Pallas kernel blocking Q x N over the
+    grid, keeping the [BQ, Ld, BD] match tile in VMEM (interpret mode on CPU).
+
+``bm25_topk`` chunks the document axis with lax.scan and keeps a running
+top-k, so the full [Q, N] score matrix is never materialized in HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# One field's operands: (q_terms [Q,Lq] i32, q_weights [Q,Lq] f32,
+#                        doc_terms_t [Ld,N] i32, doc_impacts_t [Ld,N] f32)
+FieldOperands = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def bm25_score_block_xla(
+    q_terms: jnp.ndarray,
+    q_weights: jnp.ndarray,
+    doc_terms_t: jnp.ndarray,
+    doc_impacts_t: jnp.ndarray,
+) -> jnp.ndarray:  # [Q, D]
+    match = (
+        q_terms[:, :, None, None] == doc_terms_t[None, None, :, :]
+    )  # [Q, Lq, Ld, D]
+    contrib = jnp.where(
+        match, (q_weights[:, :, None, None] * doc_impacts_t[None, None]), 0.0)
+    return contrib.sum(axis=(1, 2))
+
+
+def _bm25_kernel(qt_ref, qw_ref, dt_ref, di_ref, out_ref):
+    """One (BQ, BD) output tile. Statically unrolled over query-term slots
+    (Lq is a small compile-time constant; Mosaic rejects dynamic lane-dim
+    slices inside fori_loop); each step does a [BQ, Ld, BD] equality-compare
+    + weighted reduce on the VPU."""
+    lq = qt_ref.shape[1]
+    dt = dt_ref[:, :]  # [Ld, BD]
+    di = di_ref[:, :]  # [Ld, BD]
+
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for l in range(lq):
+        t = qt_ref[:, l:l + 1]  # [BQ, 1]
+        w = qw_ref[:, l:l + 1]  # [BQ, 1]
+        match = dt[None, :, :] == t[:, :, None]  # [BQ, Ld, BD]
+        contrib = jnp.sum(
+            jnp.where(match, di[None, :, :], 0.0), axis=1)  # [BQ, BD]
+        acc = acc + w * contrib
+    out_ref[:, :] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_d"))
+def bm25_score_block_pallas(
+    q_terms: jnp.ndarray,
+    q_weights: jnp.ndarray,
+    doc_terms_t: jnp.ndarray,
+    doc_impacts_t: jnp.ndarray,
+    block_q: int = 64,
+    block_d: int = 512,
+) -> jnp.ndarray:
+    Q, Lq = q_terms.shape
+    Ld, D = doc_terms_t.shape
+    block_q = min(block_q, Q)
+    # The kernel's [BQ, Ld, BD] match tile must fit VMEM (~16 MB/core);
+    # budget ~6 MB for it and shrink block_d accordingly.
+    vmem_budget = 6 * 1024 * 1024
+    max_bd = max(128, (vmem_budget // (4 * block_q * max(Ld, 1))) // 128 * 128)
+    block_d = min(block_d, max_bd, D)
+    if Q % block_q != 0 or D % block_d != 0:
+        raise ValueError(f"Q={Q} and D={D} must be multiples of the blocks "
+                         f"({block_q}, {block_d}); pad upstream.")
+    grid = (Q // block_q, D // block_d)
+    return pl.pallas_call(
+        _bm25_kernel,
+        out_shape=jax.ShapeDtypeStruct((Q, D), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_q, Lq), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, Lq), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ld, block_d), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ld, block_d), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_q, block_d), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * Q * Lq * Ld * D, bytes_accessed=Q * D * 4,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(q_terms, q_weights, doc_terms_t, doc_impacts_t)
+
+
+def _score_fields(
+    fields: Sequence[FieldOperands],
+    start: Optional[jnp.ndarray],
+    doc_chunk: Optional[int],
+    use_pallas: bool,
+    block_q: int,
+    block_d: int,
+) -> jnp.ndarray:
+    """Sum of per-field scores for one document chunk (or the whole axis)."""
+    total = None
+    for (qt, qw, dtt, dit) in fields:
+        if start is not None:
+            ld = dtt.shape[0]
+            dtt = jax.lax.dynamic_slice(dtt, (0, start), (ld, doc_chunk))
+            dit = jax.lax.dynamic_slice(dit, (0, start), (ld, doc_chunk))
+        if use_pallas:
+            s = bm25_score_block_pallas(
+                qt, qw, dtt, dit, block_q=block_q, block_d=block_d)
+        else:
+            s = bm25_score_block_xla(qt, qw, dtt, dit)
+        total = s if total is None else total + s
+    return total
+
+
+def merge_topk(
+    scores_a: jnp.ndarray, ids_a: jnp.ndarray,
+    scores_b: jnp.ndarray, ids_b: jnp.ndarray,
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Merge two per-query top-k lists -> top-k of the union."""
+    scores = jnp.concatenate([scores_a, scores_b], axis=1)
+    ids = jnp.concatenate([ids_a, ids_b], axis=1)
+    top_scores, idx = jax.lax.top_k(scores, k)
+    top_ids = jnp.take_along_axis(ids, idx, axis=1)
+    return top_scores, top_ids
+
+
+def bm25_topk(
+    fields: Sequence[FieldOperands],
+    k: int = 10,
+    doc_chunk: Optional[int] = None,
+    use_pallas: bool = True,
+    block_q: int = 64,
+    block_d: int = 512,
+    id_offset: jnp.ndarray | int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k BM25 (scores, doc ids) per query over the whole collection.
+
+    ``fields`` is a non-empty sequence of per-field operands whose scores are
+    added (multi-field bool.should). Scans the document axis in
+    ``doc_chunk``-sized pieces with a running top-k merge, bounding HBM at
+    [Q, doc_chunk] instead of [Q, N]. ``id_offset`` (traced ok) shifts
+    returned doc ids — shard-local to global when the index is sharded.
+    """
+    fields = tuple(fields)
+    Q = fields[0][0].shape[0]
+    N = fields[0][2].shape[1]
+
+    if doc_chunk is None or doc_chunk >= N:
+        scores = _score_fields(fields, None, None, use_pallas, block_q, block_d)
+        kk = min(k, N)
+        top_scores, top_ids = jax.lax.top_k(scores, kk)
+        return top_scores, top_ids + id_offset
+
+    if N % doc_chunk != 0:
+        raise ValueError(f"N={N} must be a multiple of doc_chunk={doc_chunk}")
+    n_chunks = N // doc_chunk
+
+    def chunk_step(carry, chunk_idx):
+        run_scores, run_ids = carry
+        start = chunk_idx * doc_chunk
+        scores = _score_fields(
+            fields, start, doc_chunk, use_pallas, block_q, block_d)
+        c_scores, c_ids = jax.lax.top_k(scores, min(k, doc_chunk))
+        c_ids = c_ids + start + id_offset
+        return merge_topk(run_scores, run_ids, c_scores, c_ids, k), None
+
+    init = (
+        jnp.full((Q, k), -jnp.inf, jnp.float32),
+        jnp.full((Q, k), -1, jnp.int32),
+    )
+    (top_scores, top_ids), _ = jax.lax.scan(
+        chunk_step, init, jnp.arange(n_chunks))
+    return top_scores, top_ids

@@ -1,0 +1,284 @@
+"""Sharded retrieval engine: HBM-resident index, mesh-parallel query fan-out.
+
+The TPU-native replacement for the reference's Elasticsearch ``_msearch``
+batched HTTP fan-out (``/root/reference/kb/generate_data.py:33-68``):
+
+  - the padded impact arrays of one or more fields (text, title) live in
+    device memory, document axis sharded over the mesh's 'data' axis,
+  - a query batch is replicated to all shards; each shard scores its block
+    with the Pallas BM25 kernel and computes a shard-local top-k,
+  - shard-local top-k lists are all-gathered over ICI and merged on device
+    (``shard_map`` + ``jax.lax.all_gather``) — the all-gather moves Q x k x 8
+    bytes per shard, not scores for every document,
+  - document texts stay on the host; ids come back and are materialized into
+    result records matching the reference's retrieval file schema
+    (``generate_data.py:137-144``: sentence/paragraph/title/score/url).
+
+Multilinguality follows the reference: one engine per language index, and a
+'mix' query fans out to all engines with results merged by score
+(index wildcard ``*wiki_v1``, ``generate_data.py:21-24``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.bm25 import bm25_topk, merge_topk
+from ..parallel.mesh import DATA_AXIS
+from .index import BM25Index
+
+
+@dataclasses.dataclass
+class RetrievedDoc:
+    doc_id: int
+    score: float
+    sentence: str = ""
+    paragraph: str = ""
+    title: str = ""
+    url: str = ""
+
+
+@dataclasses.dataclass
+class DocStore:
+    """Host-side document payloads, aligned with index doc ids."""
+
+    sentences: List[str]
+    paragraphs: Optional[List[str]] = None
+    titles: Optional[List[str]] = None
+    urls: Optional[List[str]] = None
+
+    def materialize(self, doc_id: int, score: float) -> RetrievedDoc:
+        def get(lst):
+            return lst[doc_id] if lst is not None and doc_id < len(lst) else ""
+
+        return RetrievedDoc(
+            doc_id=doc_id,
+            score=score,
+            sentence=get(self.sentences),
+            paragraph=get(self.paragraphs),
+            title=get(self.titles),
+            url=get(self.urls),
+        )
+
+
+def _pad_axis1(arr: np.ndarray, multiple: int, fill) -> np.ndarray:
+    n = arr.shape[1]
+    rem = (-n) % multiple
+    if rem == 0:
+        return arr
+    pad = np.full((arr.shape[0], rem), fill, dtype=arr.dtype)
+    return np.concatenate([arr, pad], axis=1)
+
+
+def _pad_rows(arr: np.ndarray, multiple: int, fill) -> np.ndarray:
+    n = arr.shape[0]
+    rem = (-n) % multiple
+    if rem == 0:
+        return arr
+    pad = np.full((rem,) + arr.shape[1:], fill, dtype=arr.dtype)
+    return np.concatenate([arr, pad], axis=0)
+
+
+class RetrievalEngine:
+    """Query execution over one language's index (text field + optional
+    title field for entity-boosted queries)."""
+
+    def __init__(
+        self,
+        text_index: BM25Index,
+        store: Optional[DocStore] = None,
+        title_index: Optional[BM25Index] = None,
+        mesh: Optional[Mesh] = None,
+        use_pallas: bool = True,
+        block_d: int = 512,
+        doc_chunk: Optional[int] = None,
+    ):
+        self.text_index = text_index
+        self.title_index = title_index
+        self.store = store
+        self.mesh = mesh
+        self.use_pallas = use_pallas
+        self.block_d = block_d
+        self.doc_chunk = doc_chunk
+        self.n_shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
+
+        self._device_fields: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
+        self._shard_size = 0
+        self._upload()
+
+    # -- device residency -----------------------------------------------------
+
+    def _upload(self) -> None:
+        """Transpose to [Ld, N], pad the doc axis to shards x block, and put
+        each field's arrays on device (sharded over 'data' when meshed)."""
+        pad_to = self.n_shards * self.block_d
+        fields = {"text": self.text_index}
+        if self.title_index is not None:
+            fields["title"] = self.title_index
+        # All fields must share the padded N
+        n_padded = 0
+        for idx in fields.values():
+            n_padded = max(n_padded, idx.doc_terms.shape[0])
+        n_padded = ((n_padded + pad_to - 1) // pad_to) * pad_to
+        self._shard_size = n_padded // self.n_shards
+        self.n_padded = n_padded
+
+        for name, idx in fields.items():
+            dt = _pad_rows(idx.doc_terms, 1, -1)
+            dt = np.pad(dt, ((0, n_padded - dt.shape[0]), (0, 0)),
+                        constant_values=-1)
+            di = np.pad(idx.doc_impacts,
+                        ((0, n_padded - idx.doc_impacts.shape[0]), (0, 0)))
+            dtt = np.ascontiguousarray(dt.T)  # [Ld, N]
+            dit = np.ascontiguousarray(di.T)
+            if self.mesh is not None:
+                sharding = NamedSharding(self.mesh, P(None, DATA_AXIS))
+                dtt = jax.device_put(dtt, sharding)
+                dit = jax.device_put(dit, sharding)
+            else:
+                dtt = jnp.asarray(dtt)
+                dit = jnp.asarray(dit)
+            self._device_fields[name] = (dtt, dit)
+
+    # -- search ---------------------------------------------------------------
+
+    def _topk_fn(self, k: int):
+        use_pallas = self.use_pallas and jax.default_backend() == "tpu"
+        doc_chunk = self.doc_chunk
+        block_d = self.block_d
+
+        if self.mesh is None:
+            @jax.jit
+            def run(fields):
+                return bm25_topk(fields, k=k, doc_chunk=doc_chunk,
+                                 use_pallas=use_pallas, block_d=block_d)
+
+            return run
+
+        mesh = self.mesh
+        shard_size = self._shard_size
+
+        def shard_fn(fields):
+            shard_idx = jax.lax.axis_index(DATA_AXIS)
+            local_scores, local_ids = bm25_topk(
+                fields, k=k, doc_chunk=doc_chunk, use_pallas=use_pallas,
+                block_d=block_d, id_offset=shard_idx * shard_size)
+            # [n_shards, Q, k] on every device after all-gather over ICI
+            all_scores = jax.lax.all_gather(local_scores, DATA_AXIS)
+            all_ids = jax.lax.all_gather(local_ids, DATA_AXIS)
+            s = jnp.swapaxes(all_scores, 0, 1).reshape(
+                local_scores.shape[0], -1)
+            i = jnp.swapaxes(all_ids, 0, 1).reshape(local_ids.shape[0], -1)
+            top_scores, idx = jax.lax.top_k(s, k)
+            top_ids = jnp.take_along_axis(i, idx, axis=1)
+            return top_scores, top_ids
+
+        field_spec = (P(), P(), P(None, DATA_AXIS), P(None, DATA_AXIS))
+
+        @jax.jit
+        def run(fields):
+            return jax.shard_map(
+                shard_fn,
+                mesh=mesh,
+                in_specs=(tuple(field_spec for _ in fields),),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )(fields)
+
+        return run
+
+    def search_encoded(
+        self,
+        q_terms: np.ndarray,
+        q_weights: np.ndarray,
+        k: int = 10,
+        title_terms: Optional[np.ndarray] = None,
+        title_weights: Optional[np.ndarray] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k over pre-encoded queries. Returns (scores, ids) [Q, k]."""
+        fields = [(
+            jnp.asarray(q_terms), jnp.asarray(q_weights),
+            *self._device_fields["text"],
+        )]
+        if title_terms is not None:
+            if "title" not in self._device_fields:
+                raise ValueError("engine built without a title index")
+            fields.append((
+                jnp.asarray(title_terms), jnp.asarray(title_weights),
+                *self._device_fields["title"],
+            ))
+        run = self._topk_fn(k)
+        scores, ids = run(tuple(fields))
+        return np.asarray(scores), np.asarray(ids)
+
+    def search(
+        self,
+        queries: Sequence[str],
+        k: int = 10,
+        entity_queries: Optional[Sequence[Sequence[str]]] = None,
+        title_boost: float = 2.0,
+        max_query_terms: int = 64,
+    ) -> List[List[RetrievedDoc]]:
+        """BM25 sentence retrieval, optionally entity-boosted (v4).
+
+        ``entity_queries[i]`` is a list of entity surface forms for query i;
+        their terms hit the title field with ``boost`` (ES bool.should with
+        match(title=entity, boost=2.0), generate_data.py:52-55).
+        """
+        q_terms, q_weights = self.text_index.encode_queries(
+            list(queries), max_query_terms=max_query_terms)
+        t_terms = t_weights = None
+        if entity_queries is not None:
+            if self.title_index is None:
+                raise ValueError("entity queries need a title index")
+            joined = [" ".join(ents) for ents in entity_queries]
+            t_terms, t_weights = self.title_index.encode_queries(
+                joined, max_query_terms=max_query_terms,
+                boosts=[title_boost] * len(joined))
+        scores, ids = self.search_encoded(
+            q_terms, q_weights, k=k, title_terms=t_terms,
+            title_weights=t_weights)
+
+        results: List[List[RetrievedDoc]] = []
+        n_real = self.text_index.n_docs
+        for qi in range(len(queries)):
+            row = []
+            for r in range(ids.shape[1]):
+                d, s = int(ids[qi, r]), float(scores[qi, r])
+                if d < 0 or d >= n_real or s <= 0.0:
+                    continue
+                if self.store is not None:
+                    row.append(self.store.materialize(d, s))
+                else:
+                    row.append(RetrievedDoc(doc_id=d, score=s))
+            results.append(row)
+        return results
+
+
+def mix_search(
+    engines: Dict[str, RetrievalEngine],
+    queries: Sequence[str],
+    k: int = 10,
+) -> List[List[Tuple[str, RetrievedDoc]]]:
+    """MIX-track fan-out: query every language engine, merge by score
+    (the reference's wildcard ``*wiki_v1`` msearch, generate_data.py:21-24)."""
+    per_engine = {
+        lang: eng.search(queries, k=k) for lang, eng in engines.items()
+    }
+    merged: List[List[Tuple[str, RetrievedDoc]]] = []
+    for qi in range(len(queries)):
+        rows = [
+            (lang, doc)
+            for lang, res in per_engine.items()
+            for doc in res[qi]
+        ]
+        rows.sort(key=lambda x: -x[1].score)
+        merged.append(rows[:k])
+    return merged

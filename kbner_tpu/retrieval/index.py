@@ -1,0 +1,249 @@
+"""BM25 inverted index with Lucene-compatible statistics.
+
+Replaces the Elasticsearch/Lucene index the reference builds over Wikipedia
+(``/root/reference/kb/build_kb.py:24-86``). The index is built on the host
+(NumPy) and laid out as dense padded arrays for device-side scoring:
+
+  doc_terms   [N, Ld] int32   term ids per document, pad = -1
+  doc_impacts [N, Ld] float32 precomputed per-(term,doc) BM25 contribution
+
+Precomputing *impacts* (idf x tf-norm) at build time turns query scoring into
+a pure match-and-accumulate over static-shaped blocks (see ``ops/bm25.py``) —
+no gather/scatter of ragged postings on device, which is the TPU-hostile part
+of classic term-at-a-time retrieval.
+
+Scoring matches Lucene 8 / ES 7.x BM25 (the reference's retrieval scores,
+``README.md:262-271``):
+
+  idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+  tfNorm(t,d) = tf / (tf + k1 * (1 - b + b * dl/avgdl))      (k1=1.2, b=0.75)
+  score(q,d)  = sum_{t in q} boost(t) * idf(t) * tfNorm(t, d)
+
+Lucene stores document lengths quantized to one byte (SmallFloat int4
+encoding); ``quantize_norms=True`` reproduces that lossy encoding so scores —
+not just rankings — track ES closely.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pickle
+from collections import Counter
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .analyzer import standard_analyze
+
+PAD_TERM = -1  # padding slot in doc_terms
+OOV_TERM = -2  # query term absent from the index vocabulary
+
+
+def long_to_int4(i: int) -> int:
+    """Lucene SmallFloat.longToInt4: lossy 4-mantissa-bit integer encoding."""
+    if i < 0:
+        raise ValueError("negative value")
+    num_bits = i.bit_length()
+    if num_bits < 4:
+        return i
+    shift = num_bits - 4
+    encoded = (i >> shift) & 0x07
+    encoded |= (shift + 1) << 3
+    return encoded
+
+
+def int4_to_long(i: int) -> int:
+    """Inverse (lossy) of :func:`long_to_int4`."""
+    bits = i & 0x07
+    shift = (i >> 3) - 1
+    if shift == -1:
+        return bits
+    return (bits | 0x08) << shift
+
+
+def quantize_doc_length(dl: int) -> int:
+    """Round-trip a document length through Lucene's 1-byte norm encoding."""
+    return int4_to_long(long_to_int4(dl))
+
+
+@dataclasses.dataclass
+class BM25Params:
+    k1: float = 1.2
+    b: float = 0.75
+    quantize_norms: bool = True
+
+
+class BM25Index:
+    """Single-field BM25 index over a document collection."""
+
+    def __init__(
+        self,
+        vocab: Dict[str, int],
+        idf: np.ndarray,
+        doc_terms: np.ndarray,
+        doc_impacts: np.ndarray,
+        n_docs: int,
+        avgdl: float,
+        params: BM25Params,
+        analyzer: Callable[[str], List[str]] = standard_analyze,
+    ):
+        self.vocab = vocab
+        self.idf = idf
+        self.doc_terms = doc_terms
+        self.doc_impacts = doc_impacts
+        self.n_docs = n_docs
+        self.avgdl = avgdl
+        self.params = params
+        self.analyzer = analyzer
+
+    # -- construction ---------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        docs: Sequence[str],
+        analyzer: Callable[[str], List[str]] = standard_analyze,
+        params: Optional[BM25Params] = None,
+        max_doc_terms: Optional[int] = None,
+        pad_docs_to: int = 128,
+    ) -> "BM25Index":
+        """Analyze, count, and lay out the padded impact arrays.
+
+        ``max_doc_terms`` caps distinct terms per document (lowest-impact
+        overflow dropped — only relevant for paragraph-sized fields).
+        ``pad_docs_to`` pads N up to a multiple for clean device blocking;
+        padding rows have no terms and never match.
+        """
+        params = params or BM25Params()
+        analyzed: List[Counter] = []
+        doc_lens: List[int] = []
+        df_counter: Counter = Counter()
+        for doc in docs:
+            terms = analyzer(doc)
+            counts = Counter(terms)
+            analyzed.append(counts)
+            doc_lens.append(len(terms))
+            df_counter.update(counts.keys())
+
+        n_docs = len(docs)
+        vocab = {t: i for i, t in enumerate(sorted(df_counter))}
+        df = np.zeros(len(vocab), dtype=np.int64)
+        for t, c in df_counter.items():
+            df[vocab[t]] = c
+        idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)).astype(np.float32)
+
+        if doc_lens:
+            # Lucene's avgdl uses true total term count / doc count, but the
+            # per-doc dl in the norm is the quantized stored value.
+            avgdl = float(np.mean(doc_lens)) if n_docs else 1.0
+        else:
+            avgdl = 1.0
+
+        ld = max((len(c) for c in analyzed), default=1)
+        if max_doc_terms is not None:
+            ld = min(ld, max_doc_terms)
+        n_pad = ((n_docs + pad_docs_to - 1) // pad_docs_to) * pad_docs_to
+        doc_terms = np.full((n_pad, ld), PAD_TERM, dtype=np.int32)
+        doc_impacts = np.zeros((n_pad, ld), dtype=np.float32)
+
+        k1, b = params.k1, params.b
+        for d, counts in enumerate(analyzed):
+            dl = doc_lens[d]
+            if params.quantize_norms:
+                dl = quantize_doc_length(dl)
+            norm = k1 * (1.0 - b + b * dl / avgdl)
+            items = [
+                (vocab[t], idf[vocab[t]] * tf / (tf + norm))
+                for t, tf in counts.items()
+            ]
+            if len(items) > ld:
+                items.sort(key=lambda x: -x[1])
+                items = items[:ld]
+            for j, (tid, imp) in enumerate(items):
+                doc_terms[d, j] = tid
+                doc_impacts[d, j] = imp
+
+        return cls(vocab, idf, doc_terms, doc_impacts, n_docs, avgdl, params,
+                   analyzer)
+
+    # -- queries --------------------------------------------------------------
+
+    def encode_queries(
+        self,
+        queries: Sequence[str],
+        max_query_terms: int = 64,
+        boosts: Optional[Sequence[float]] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Queries -> (term ids [Q, Lq], weights [Q, Lq]).
+
+        Duplicate query terms become one slot with weight = multiplicity
+        (Lucene scores one TermQuery clause per occurrence; scores add).
+        Out-of-vocabulary terms get ``OOV_TERM`` and never match. A uniform
+        per-query ``boost`` multiplies the weights (title boost 2.0 for
+        entity queries, ``generate_data.py:52-55``).
+        """
+        Q = len(queries)
+        q_terms = np.full((Q, max_query_terms), OOV_TERM, dtype=np.int32)
+        q_weights = np.zeros((Q, max_query_terms), dtype=np.float32)
+        for qi, text in enumerate(queries):
+            counts = Counter(self.analyzer(text))
+            boost = boosts[qi] if boosts is not None else 1.0
+            items = list(counts.items())[:max_query_terms]
+            for j, (t, mult) in enumerate(items):
+                q_terms[qi, j] = self.vocab.get(t, OOV_TERM)
+                q_weights[qi, j] = float(mult) * boost
+        return q_terms, q_weights
+
+    # -- persistence ----------------------------------------------------------
+
+    def save(self, path: str | Path) -> None:
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump(
+                {
+                    "vocab": self.vocab,
+                    "idf": self.idf,
+                    "doc_terms": self.doc_terms,
+                    "doc_impacts": self.doc_impacts,
+                    "n_docs": self.n_docs,
+                    "avgdl": self.avgdl,
+                    "params": dataclasses.asdict(self.params),
+                },
+                f,
+                protocol=4,
+            )
+
+    @classmethod
+    def load(
+        cls, path: str | Path,
+        analyzer: Callable[[str], List[str]] = standard_analyze,
+    ) -> "BM25Index":
+        with open(path, "rb") as f:
+            d = pickle.load(f)
+        return cls(
+            vocab=d["vocab"], idf=d["idf"], doc_terms=d["doc_terms"],
+            doc_impacts=d["doc_impacts"], n_docs=d["n_docs"],
+            avgdl=d["avgdl"], params=BM25Params(**d["params"]),
+            analyzer=analyzer,
+        )
+
+    # -- reference scoring (oracle) -------------------------------------------
+
+    def score_oracle(self, queries: Sequence[str],
+                     boosts: Optional[Sequence[float]] = None) -> np.ndarray:
+        """Exact host-side scoring of all docs — the parity oracle for kernel
+        and engine tests. O(Q x N x Ld); tiny corpora only."""
+        q_terms, q_weights = self.encode_queries(queries, boosts=boosts)
+        scores = np.zeros((len(queries), self.doc_terms.shape[0]),
+                          dtype=np.float64)
+        for qi in range(len(queries)):
+            for j in range(q_terms.shape[1]):
+                t = q_terms[qi, j]
+                if t < 0:
+                    continue
+                match = self.doc_terms == t  # [N, Ld]
+                scores[qi] += q_weights[qi, j] * (
+                    self.doc_impacts * match).sum(axis=1)
+        return scores

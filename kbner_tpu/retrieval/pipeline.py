@@ -1,0 +1,165 @@
+"""KB retrieval pipeline: corpus-level query generation, retrieval-file
+interop, and the iterative (v4) entity-retrieval loop.
+
+Host-side orchestration mirroring ``/root/reference/kb/generate_data.py`` and
+the dataset-emitting parts of ``context_process.py``; the device work happens
+inside :class:`~kbner_tpu.retrieval.engine.RetrievalEngine`.
+
+File format parity: the reference stores retrievals as a query line followed
+by k result lines ``sentence \\t paragraph \\t title \\t score \\t url \\t
+hits`` (``generate_data.py:137-144``, documented ``README.md:248-272``), so
+artifacts are exchangeable between the two systems in either direction.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from ..data.conll import SentenceRecord
+from .engine import DocStore, RetrievalEngine, RetrievedDoc
+from .fusion import extract_entities
+from .index import BM25Index, BM25Params
+from .analyzer import get_analyzer
+
+_CJK_SPACE_RE = re.compile(
+    r"(?<=[⺀-鿿가-힯豈-﫿]) "
+    r"(?=[⺀-鿿가-힯豈-﫿])")
+
+
+def clean_cjk_spaces(text: str) -> str:
+    """Remove spaces between CJK characters (zh/mix query cleanup,
+    ``generate_data.py:70-79``)."""
+    prev = None
+    while prev != text:
+        prev = text
+        text = _CJK_SPACE_RE.sub("", text)
+    return text
+
+
+def sentence_query(record: SentenceRecord, lang: str = "en") -> str:
+    text = " ".join(record.original_tokens())
+    if lang in ("zh", "mix"):
+        text = clean_cjk_spaces(text)
+    return text
+
+
+def retrieve_for_records(
+    engine: RetrievalEngine,
+    records: Sequence[SentenceRecord],
+    k: int = 10,
+    lang: str = "en",
+    with_entity: bool = False,
+    entities: Optional[Sequence[Sequence[str]]] = None,
+    tag_layer: str = "ner",
+    batch_size: int = 1024,
+) -> List[List[RetrievedDoc]]:
+    """Per-sentence BM25 retrieval over a corpus split.
+
+    ``with_entity`` adds title-boosted entity clauses (v4); entities default
+    to the records' gold/predicted tags (``generate_data.py:100-109``).
+    Queries run in batches of ``batch_size`` (the reference uses 1000-query
+    ``_msearch`` batches, ``:118-127``).
+    """
+    queries = [sentence_query(r, lang) for r in records]
+    ents: Optional[List[List[str]]] = None
+    if with_entity:
+        ents = (list(map(list, entities)) if entities is not None
+                else [extract_entities(r, tag_layer) for r in records])
+    out: List[List[RetrievedDoc]] = []
+    for i in range(0, len(queries), batch_size):
+        qs = queries[i:i + batch_size]
+        es = ents[i:i + batch_size] if ents is not None else None
+        out.extend(engine.search(qs, k=k, entity_queries=es))
+    return out
+
+
+# -- retrieval-file interop ----------------------------------------------------
+
+def write_retrieval_file(
+    path: str | Path,
+    records: Sequence[SentenceRecord],
+    results: Sequence[Sequence[RetrievedDoc]],
+    lang: str = "en",
+) -> None:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        for rec, docs in zip(records, results):
+            f.write(sentence_query(rec, lang) + "\n")
+            for d in docs:
+                hits = ""  # highlight reconstruction is optional output
+                f.write(
+                    f"{d.sentence}\t{d.paragraph}\t{d.title}\t"
+                    f"{d.score:.6f}\t{d.url}\t{hits}\n")
+            f.write("\n")
+
+
+def read_retrieval_file(path: str | Path) -> Dict[str, List[RetrievedDoc]]:
+    """Parse a retrieval file into query -> ranked contexts (the role of
+    ``context_process.py:802-967``'s google_dict)."""
+    out: Dict[str, List[RetrievedDoc]] = {}
+    query: Optional[str] = None
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                query = None
+                continue
+            if query is None:
+                query = line
+                out[query] = []
+                continue
+            parts = line.split("\t")
+            sentence = parts[0] if len(parts) > 0 else ""
+            paragraph = parts[1] if len(parts) > 1 else ""
+            title = parts[2] if len(parts) > 2 else ""
+            score = float(parts[3]) if len(parts) > 3 and parts[3] else 0.0
+            url = parts[4] if len(parts) > 4 else ""
+            out[query].append(RetrievedDoc(
+                doc_id=-1, score=score, sentence=sentence,
+                paragraph=paragraph, title=title, url=url))
+    return out
+
+
+# -- KB construction -------------------------------------------------------------
+
+def build_kb_from_jsonl(
+    path: str | Path,
+    lang: str = "en",
+    max_docs: Optional[int] = None,
+    params: Optional[BM25Params] = None,
+    with_title_index: bool = True,
+) -> Tuple[BM25Index, DocStore, Optional[BM25Index]]:
+    """Build text (+title) indices from parsed-wiki JSONL.
+
+    Input format matches the reference's ``parse_text.py`` output
+    (``:81``): one JSON object per line with ``title``, ``sentence``,
+    ``paragraph``, ``url`` fields. The ES mapping indexed ``text`` (the
+    sentence) and ``title``; ``paragraph``/``url`` are stored, not searched
+    (``build_kb.py:24-36``).
+    """
+    analyzer = get_analyzer(lang)
+    sentences: List[str] = []
+    paragraphs: List[str] = []
+    titles: List[str] = []
+    urls: List[str] = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            if not line.strip():
+                continue
+            obj = json.loads(line)
+            sentences.append(obj.get("sentence", ""))
+            paragraphs.append(obj.get("paragraph", ""))
+            titles.append(obj.get("title", ""))
+            urls.append(obj.get("url", ""))
+            if max_docs is not None and len(sentences) >= max_docs:
+                break
+    text_index = BM25Index.build(sentences, analyzer=analyzer, params=params)
+    title_index = (BM25Index.build(titles, analyzer=analyzer, params=params)
+                   if with_title_index else None)
+    store = DocStore(sentences=sentences, paragraphs=paragraphs,
+                     titles=titles, urls=urls)
+    return text_index, store, title_index

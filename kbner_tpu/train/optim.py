@@ -1,0 +1,93 @@
+"""Optimizers and LR schedules for fine-tuning.
+
+Reproduces the reference trainer's optimization recipe
+(``/root/reference/flair/trainers/finetune_trainer.py``):
+
+  - two parameter groups: encoder params at ``lr``, head params at
+    ``lr * lr_rate`` (``:552-571``; e.g. 5e-6 vs x10000 -> 0.05 for the CRF
+    head),
+  - AdamW with linear warmup + linear decay (``:664-691``) or inverse-sqrt
+    (``:26-42``),
+  - global grad-norm clip 5.0 (``:1010-1012``),
+  - gradient accumulation with optax.MultiSteps (``:939-946,1007-1023``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import optax
+
+
+def linear_warmup_linear_decay(
+    peak_lr: float, warmup_steps: int, total_steps: int
+) -> optax.Schedule:
+    """HF-style get_linear_schedule_with_warmup."""
+    warmup_steps = max(warmup_steps, 1)
+    decay_steps = max(total_steps - warmup_steps, 1)
+    return optax.join_schedules(
+        [
+            optax.linear_schedule(0.0, peak_lr, warmup_steps),
+            optax.linear_schedule(peak_lr, 0.0, decay_steps),
+        ],
+        [warmup_steps],
+    )
+
+
+def inverse_sqrt_schedule(
+    peak_lr: float, warmup_steps: int
+) -> optax.Schedule:
+    """Inverse-sqrt decay after linear warmup (finetune_trainer.py:26-42)."""
+    warmup_steps = max(warmup_steps, 1)
+
+    def schedule(step):
+        step = jax.numpy.maximum(step, 1)
+        warm = peak_lr * step / warmup_steps
+        decay = peak_lr * jax.numpy.sqrt(warmup_steps / step)
+        return jax.numpy.where(step < warmup_steps, warm, decay)
+
+    return schedule
+
+
+def _is_encoder_path(path) -> bool:
+    return any(getattr(k, "key", None) == "encoder" for k in path)
+
+
+def make_finetune_optimizer(
+    params: Any,
+    lr: float,
+    lr_rate: float = 1.0,
+    schedule_fn: Optional[Callable[[float], optax.Schedule]] = None,
+    warmup_steps: int = 0,
+    total_steps: int = 10000,
+    weight_decay: float = 0.0,
+    grad_clip: float = 5.0,
+    accumulation_steps: int = 1,
+    use_inverse_sqrt: bool = False,
+) -> optax.GradientTransformation:
+    """Two-group AdamW: encoder at ``lr``, everything else at ``lr*lr_rate``."""
+
+    def make_sched(peak):
+        if schedule_fn is not None:
+            return schedule_fn(peak)
+        if use_inverse_sqrt:
+            return inverse_sqrt_schedule(peak, warmup_steps)
+        return linear_warmup_linear_decay(peak, warmup_steps, total_steps)
+
+    def adamw(peak):
+        return optax.adamw(
+            make_sched(peak), b1=0.9, b2=0.999, eps=1e-8,
+            weight_decay=weight_decay)
+
+    labels = jax.tree_util.tree_map_with_path(
+        lambda path, _: "encoder" if _is_encoder_path(path) else "head",
+        params,
+    )
+    tx = optax.multi_transform(
+        {"encoder": adamw(lr), "head": adamw(lr * lr_rate)}, labels)
+    if grad_clip and grad_clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    if accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulation_steps)
+    return tx

@@ -1,0 +1,291 @@
+"""Fine-tuning trainer: pjit data-parallel, reference training semantics.
+
+TPU-native counterpart of ``ModelFinetuner``
+(``/root/reference/flair/trainers/finetune_trainer.py:50-1330``):
+
+  - two param groups (encoder lr vs head lr*lr_rate, ``:552-571``),
+  - AdamW + linear warmup (``:664-691``), grad clip 5.0 (``:1010-1012``),
+  - gradient accumulation (``:939-946,1007-1023``),
+  - per-epoch dev evaluation as a dataset-level macro average over the
+    per-language dev sets (``:1099-1130``),
+  - best/final model convention (``:1280-1303``) with the tuned encoder
+    exportable for multi-stage hand-off (``save_finetuned_embedding``,
+    ``:1290-1313``),
+  - language resampling / upsampling hooks for multilingual training
+    (``:98-214``).
+
+Design differences (TPU-first): the train step is one jitted pure function
+over a device mesh; batches are length-bucketed static shapes; the model is
+a Flax module + param tree, checkpointed with flax serialization (msgpack),
+not pickled objects.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from ..data.conll import Corpus, ListCorpus, SentenceRecord, X_LABEL
+from ..data.dictionary import Dictionary
+from ..data.encode import EncodedBatch, encode_batch, make_batches
+from ..data.subword import SubwordTokenizer
+from ..eval.metrics import Metric, evaluate_spans
+from ..models.tagger import SequenceTagger, TaggerConfig
+from ..parallel.mesh import pad_batch_for_mesh, shard_batch
+from .optim import make_finetune_optimizer
+
+log = logging.getLogger("kbner_tpu")
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    learning_rate: float = 5e-6
+    lr_rate: float = 10000.0  # head lr multiplier
+    batch_size: int = 16
+    max_epochs: int = 10
+    warmup_fraction: float = 0.1
+    accumulation_steps: int = 1
+    weight_decay: float = 0.0
+    grad_clip: float = 5.0
+    use_inverse_sqrt: bool = False
+    seed: int = 0
+    max_subtokens: int = 512
+    eval_batch_size: int = 32
+    save_finetuned_encoder: bool = False
+    monitor_test: bool = False
+
+
+class FinetuneTrainer:
+    def __init__(
+        self,
+        model: SequenceTagger,
+        params: Any,
+        corpus: ListCorpus | Corpus,
+        tokenizer: SubwordTokenizer,
+        tag_dict: Dictionary,
+        mesh=None,
+        tag_layer: str = "ner",
+    ):
+        self.model = model
+        self.params = params
+        if isinstance(corpus, Corpus):
+            corpus = ListCorpus([corpus])
+        self.corpus = corpus
+        self.tokenizer = tokenizer
+        self.tag_dict = tag_dict
+        self.mesh = mesh
+        self.tag_layer = tag_layer
+        self._decode_fn = None
+        self._x_tag = "S-" + X_LABEL
+
+    # -- jitted steps ---------------------------------------------------------
+
+    def _build_train_step(self, tx):
+        model = self.model
+
+        def train_step(params, opt_state, batch, rng):
+            def loss_fn(p):
+                return model.apply(
+                    p, batch, deterministic=False, method=model.loss,
+                    rngs={"dropout": rng})
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(
+                lambda a, b: a + b, params, updates)
+            return params, opt_state, loss
+
+        return jax.jit(train_step, donate_argnums=(0, 1))
+
+    def _decode(self, params, batch_arrays) -> Tuple[np.ndarray, np.ndarray]:
+        if self._decode_fn is None:
+            model = self.model
+
+            def decode_fn(params, batch):
+                return model.apply(params, batch, method=model.decode)
+
+            self._decode_fn = jax.jit(decode_fn)
+        tags, scores = self._decode_fn(params, batch_arrays)
+        return np.asarray(tags), np.asarray(scores)
+
+    # -- training -------------------------------------------------------------
+
+    def train(self, base_path: str | Path, config: TrainConfig) -> Dict[str, Any]:
+        base_path = Path(base_path)
+        base_path.mkdir(parents=True, exist_ok=True)
+        self.tag_dict.save(base_path / "tag_dictionary.json")
+
+        train_records = self.corpus.train
+        steps_per_epoch = max(
+            1, (len(train_records) + config.batch_size - 1) // config.batch_size)
+        total_steps = steps_per_epoch * config.max_epochs
+        warmup = int(total_steps * config.warmup_fraction)
+
+        tx = make_finetune_optimizer(
+            self.params, lr=config.learning_rate, lr_rate=config.lr_rate,
+            warmup_steps=warmup, total_steps=total_steps,
+            weight_decay=config.weight_decay, grad_clip=config.grad_clip,
+            accumulation_steps=config.accumulation_steps,
+            use_inverse_sqrt=config.use_inverse_sqrt)
+        opt_state = tx.init(self.params)
+        train_step = self._build_train_step(tx)
+
+        rng = jax.random.PRNGKey(config.seed)
+        best_score = -1.0
+        history = {"train_loss": [], "dev_score": []}
+
+        for epoch in range(config.max_epochs):
+            t0 = time.time()
+            batches = make_batches(
+                train_records, self.tokenizer, self.tag_dict,
+                config.batch_size, shuffle=True, seed=config.seed + epoch,
+                tag_layer=self.tag_layer, max_subtokens=config.max_subtokens)
+            losses = []
+            for i, eb in enumerate(batches):
+                arrays = self._to_device(eb)
+                rng, step_rng = jax.random.split(rng)
+                self.params, opt_state, loss = train_step(
+                    self.params, opt_state, arrays, step_rng)
+                losses.append(float(loss))
+            train_loss = float(np.mean(losses)) if losses else 0.0
+            history["train_loss"].append(train_loss)
+
+            # dataset-level macro-avg dev score (finetune_trainer.py:1099-1130)
+            dev_scores = []
+            for dev_set in self.corpus.dev_list:
+                if dev_set:
+                    metric, _ = self.evaluate(dev_set, config.eval_batch_size)
+                    dev_scores.append(metric.micro_avg_f_score())
+            dev_score = float(np.mean(dev_scores)) if dev_scores else train_loss
+            history["dev_score"].append(dev_score)
+            log.info(
+                "epoch %d  loss %.4f  dev %.4f  (%.1fs)",
+                epoch + 1, train_loss, dev_score, time.time() - t0)
+
+            if dev_score >= best_score:
+                best_score = dev_score
+                self.save(base_path / "best-model.msgpack")
+                if config.save_finetuned_encoder:
+                    self.save_encoder(base_path / "finetuned-encoder.msgpack")
+
+        self.save(base_path / "final-model.msgpack")
+        (base_path / "history.json").write_text(json.dumps(history))
+        return {"best_dev_score": best_score, "history": history}
+
+    def _to_device(self, eb: EncodedBatch) -> Dict[str, jnp.ndarray]:
+        arrays = eb.arrays()
+        if self.mesh is not None:
+            arrays = pad_batch_for_mesh(arrays, self.mesh)
+            return shard_batch(arrays, self.mesh)
+        return {k: jnp.asarray(v) for k, v in arrays.items()}
+
+    # -- evaluation -----------------------------------------------------------
+
+    def predict(
+        self,
+        records: Sequence[SentenceRecord],
+        batch_size: int = 32,
+        sort_by_length: bool = True,
+    ) -> List[List[str]]:
+        """Predicted BIOES tag strings per sentence, in input order.
+
+        Retrieved-context positions (gold S-X) are re-filled with S-X as the
+        reference does after masked decode
+        (sequence_tagger_model.py:1198-1208).
+        """
+        # tag_dict=None: prediction must not require gold tags to be
+        # encodable (parse mode feeds raw BIO files, train.py:384-400)
+        order_batches = make_batches(
+            records, self.tokenizer, None, batch_size,
+            shuffle=False, sort_by_length=sort_by_length,
+            tag_layer=self.tag_layer)
+        results: Dict[int, List[str]] = {}
+        rec_index = {id(r): i for i, r in enumerate(records)}
+        for eb in order_batches:
+            arrays = self._to_device(eb)
+            tags, _ = self._decode(self.params, arrays)
+            for b, rec in enumerate(eb.records):
+                n_words = int(eb.word_mask[b].sum())
+                out = []
+                for w in range(n_words):
+                    if eb.crf_mask[b, w] == 0:
+                        out.append(self._x_tag)
+                    else:
+                        out.append(self.tag_dict.get_item_for_index(
+                            int(tags[b, w])))
+                # words truncated by the subtoken budget get 'O'
+                out.extend(["O"] * (len(rec.tokens) - n_words))
+                results[rec_index[id(rec)]] = out
+        return [results[i] for i in range(len(records))]
+
+    def evaluate(
+        self,
+        records: Sequence[SentenceRecord],
+        batch_size: int = 32,
+        out_path: Optional[Path] = None,
+    ) -> Tuple[Metric, List[List[str]]]:
+        preds = self.predict(records, batch_size)
+        gold = [r.tags[self.tag_layer] for r in records]
+        metric = evaluate_spans(gold, preds, ignore_labels=(X_LABEL, "_", "NE"))
+        if out_path is not None:
+            with open(out_path, "w", encoding="utf-8") as f:
+                for rec, pred in zip(records, preds):
+                    for tok, g, p in zip(rec.tokens, rec.tags[self.tag_layer],
+                                         pred):
+                        f.write(f"{tok} {g} {p}\n")
+                    f.write("\n")
+        return metric, preds
+
+    def final_test(self, base_path: str | Path, batch_size: int = 32):
+        """Reload best model and evaluate per test set
+        (finetune_trainer.py:2136-2282)."""
+        base_path = Path(base_path)
+        best = base_path / "best-model.msgpack"
+        if best.exists():
+            self.load(best)
+        results = {}
+        for name, test_set in zip(self.corpus.targets, self.corpus.test_list):
+            if not test_set:
+                continue
+            metric, _ = self.evaluate(
+                test_set, batch_size, out_path=base_path / f"test.{name}.tsv")
+            results[name] = {
+                "micro_f1": metric.micro_avg_f_score(),
+                "macro_f1": metric.macro_avg_f_score(),
+            }
+            log.info("TEST %s: %s", name, results[name])
+        (base_path / "test_results.json").write_text(json.dumps(results))
+        return results
+
+    # -- persistence ----------------------------------------------------------
+
+    def save(self, path: str | Path) -> None:
+        Path(path).write_bytes(serialization.to_bytes(self.params))
+
+    def load(self, path: str | Path) -> None:
+        self.params = serialization.from_bytes(
+            self.params, Path(path).read_bytes())
+        self._decode_fn = None
+
+    def save_encoder(self, path: str | Path) -> None:
+        """Export only the tuned encoder params — the multi-stage fine-tuning
+        hand-off (reference ``save_finetuned_embedding``,
+        finetune_trainer.py:1290-1313)."""
+        encoder = self.params["params"]["encoder"]
+        Path(path).write_bytes(serialization.to_bytes(encoder))
+
+    def load_encoder(self, path: str | Path) -> None:
+        encoder = self.params["params"]["encoder"]
+        restored = serialization.from_bytes(encoder, Path(path).read_bytes())
+        params = jax.tree_util.tree_map(lambda x: x, self.params)
+        params["params"]["encoder"] = restored
+        self.params = params

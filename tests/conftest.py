@@ -9,7 +9,11 @@ Must set XLA flags before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment pins JAX_PLATFORMS to the TPU tunnel
+# ('axon'), which has one chip and slow first-compiles; tests want 8 virtual
+# CPU devices. The axon site-package overrides the env var at jax import, so
+# we ALSO call jax.config.update below after importing jax.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +22,16 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import pytest  # noqa: E402
 from pathlib import Path  # noqa: E402
+
+# Persistent compilation cache: XLA compiles dominate test wall-clock on the
+# single-core CPU runner; cache them across runs.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert len(jax.devices()) == 8, jax.devices()
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,63 @@
+"""Config + CLI integration: train -> test -> parse on the toy corpus."""
+
+import json
+import shutil
+from pathlib import Path
+
+import pytest
+import yaml
+
+from kbner_tpu.config import ExperimentConfig
+
+FIX = Path(__file__).parent / "fixtures"
+REPO = Path(__file__).parent.parent
+
+
+def make_config(tmp_path):
+    raw = yaml.safe_load((FIX / "toy_config.yaml").read_text())
+    raw["corpora"][0]["data_folder"] = str(FIX / "ner_toy")
+    # tiny random-init model: final_test checks memorization, so point the
+    # test split at the training file
+    raw["corpora"][0]["test_file"] = "train.txt"
+    raw["train"]["max_epochs"] = 30
+    raw["target_dir"] = str(tmp_path / "run")
+    p = tmp_path / "cfg.yaml"
+    p.write_text(yaml.safe_dump(raw))
+    return p, raw
+
+
+def test_config_parsing(tmp_path):
+    p, raw = make_config(tmp_path)
+    cfg = ExperimentConfig.from_file(p)
+    assert cfg.name == "toy-ner"
+    assert cfg.corpora[0].column_format == {0: "text", 1: "ner"}
+    corpus = cfg.load_corpus()
+    assert len(corpus.train) == 8
+    tok = cfg.make_tokenizer()
+    assert tok.vocab_size == 997
+    enc = cfg.make_encoder_config(tok)
+    assert enc.num_layers == 2  # tiny
+    tc = cfg.make_train_config()
+    assert tc.batch_size == 4
+
+
+def test_cli_train_test_parse(tmp_path):
+    from kbner_tpu import cli
+
+    p, raw = make_config(tmp_path)
+    cli.main(["train", "--config", str(p)])
+    run_dir = Path(raw["target_dir"])
+    assert (run_dir / "best-model.msgpack").exists()
+    assert (run_dir / "final-model.msgpack").exists()
+    assert (run_dir / "tag_dictionary.json").exists()
+    results = json.loads((run_dir / "test_results.json").read_text())
+    assert results["TOY"]["micro_f1"] > 0.9  # memorized training data
+
+    # parse a directory of raw files
+    parse_dir = tmp_path / "to_parse"
+    parse_dir.mkdir()
+    shutil.copy(FIX / "ner_toy" / "test.txt", parse_dir / "input.txt")
+    cli.main(["parse", "--config", str(p), "--target_dir", str(parse_dir),
+              "--keep_order"])
+    out = (parse_dir / "input.conllu").read_text()
+    assert "Bob" in out and len(out.splitlines()) > 5
