@@ -166,6 +166,31 @@ def cmd_retrieve(args):
         logging.info("%s: %d sentences fused", split, len(fused))
 
 
+def cmd_ensemble(args):
+    """Majority-vote ensembling over N prediction files
+    (ensemble_prediction.py)."""
+    from .data.conll import read_column_file, write_column_file
+    from .eval.ensemble import ensemble_predictions
+
+    _setup_logging(None)
+    all_systems = []
+    records = None
+    for f in args.predictions:
+        recs = read_column_file(
+            f, {0: "text", 1: "pred"}, comment_symbol=args.comment_symbol,
+            tag_to_bioes=None)
+        all_systems.append([r.tags["pred"] for r in recs])
+        if records is None:
+            records = recs
+    ensembled = ensemble_predictions(
+        all_systems, threshold=args.threshold)
+    for rec, tags in zip(records, ensembled):
+        rec.tags["pred"] = tags
+    write_column_file(args.out, records, layers=("pred",))
+    logging.info("wrote ensemble of %d systems to %s",
+                 len(all_systems), args.out)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="kbner_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -193,6 +218,14 @@ def main(argv=None):
     sp.add_argument("--with_entity", action="store_true")
     sp.add_argument("--comment_symbol", default="# id")
     sp.set_defaults(fn=cmd_retrieve)
+
+    sp = sub.add_parser("ensemble")
+    sp.add_argument("predictions", nargs="+",
+                    help="prediction files (token pred columns)")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--threshold", type=float, default=None)
+    sp.add_argument("--comment_symbol", default="# id")
+    sp.set_defaults(fn=cmd_ensemble)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -176,6 +176,102 @@ class SequenceTagger(nn.Module):
         tags = jnp.where(batch["crf_mask"].astype(bool), tags, pad_tag)
         return tags, score
 
+    def multi_view_loss(
+        self,
+        batch: Dict[str, jnp.ndarray],
+        orig_batch: Dict[str, jnp.ndarray],
+        deterministic: bool = False,
+        agreement_weight: float = 1.0,
+        l2_weight: float = 0.0,
+        kind: str = "kl",
+    ):
+        """CLNER/ITA cooperative loss (sequence_tagger_model.py:1928-2110).
+
+        ``batch`` is the retrieval-context view, ``orig_batch`` the same
+        sentences truncated at <EOS> (``doc_sent`` pairing,
+        distillation_trainer.py:675-690). The context view trains on the CRF
+        NLL; its posterior marginals (detached) teach the context-free view
+        on the shared original positions; optional L2 matches features.
+        """
+        from ..ops.losses import feature_l2_loss
+        from ..ops.losses import multi_view_loss as mv_loss
+
+        cfg = self.config
+        feats_ctx = self._word_features(
+            batch["input_ids"], batch["attention_mask"],
+            batch["word_starts"], batch["word_mask"], deterministic)
+        feats_orig = self._word_features(
+            orig_batch["input_ids"], orig_batch["attention_mask"],
+            orig_batch["word_starts"], orig_batch["word_mask"], deterministic)
+        em_ctx = self.emission(feats_ctx.astype(jnp.float32))
+        em_orig = self.emission(feats_orig.astype(jnp.float32))
+
+        trans = self.transition_matrix() if cfg.use_crf else None
+        if cfg.use_crf:
+            nll = crf_neg_log_likelihood(
+                em_ctx, batch["tag_ids"], batch["crf_mask"], trans,
+                cfg.start_idx, cfg.stop_idx)
+            loss = jnp.mean(nll)
+            marg_ctx = crf_marginals(
+                em_ctx, batch["crf_mask"], trans, cfg.start_idx, cfg.stop_idx)
+            marg_orig = crf_marginals(
+                em_orig, orig_batch["crf_mask"], trans, cfg.start_idx,
+                cfg.stop_idx)
+        else:
+            logp = jax.nn.log_softmax(em_ctx, -1)
+            gold = jnp.take_along_axis(
+                logp, batch["tag_ids"][:, :, None], axis=2)[..., 0]
+            mask = batch["crf_mask"].astype(jnp.float32)
+            loss = -jnp.sum(gold * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+            marg_ctx = jax.nn.softmax(em_ctx, -1)
+            marg_orig = jax.nn.softmax(em_orig, -1)
+
+        # shared positions: the orig view's word axis is a prefix of the
+        # context view's (same sentences, context truncated), so slice.
+        W = orig_batch["word_mask"].shape[1]
+        shared_mask = orig_batch["word_mask"]
+        agree = mv_loss(marg_ctx[:, :W], marg_orig[:, :W], shared_mask,
+                        kind=kind)
+        loss = loss + agreement_weight * agree
+        if l2_weight > 0:
+            loss = loss + l2_weight * feature_l2_loss(
+                feats_ctx[:, :W].astype(jnp.float32),
+                feats_orig[:, :W].astype(jnp.float32), shared_mask)
+        return loss
+
+    def distill_loss(
+        self,
+        batch: Dict[str, jnp.ndarray],
+        teacher_logits: jnp.ndarray,  # [B, W, K]
+        deterministic: bool = False,
+        interpolation: float = 0.5,
+        temperature: float = 1.0,
+        posterior: bool = False,
+    ):
+        """Interpolated KD loss (simple_forward_distillation_loss,
+        sequence_tagger_model.py:2110-2372): gold CRF NLL mixed with logit
+        (or posterior-marginal) distillation from cached teacher scores."""
+        from ..ops.losses import distillation_loss, posterior_distillation_loss
+
+        cfg = self.config
+        loss, emissions = self.loss(
+            batch, deterministic=deterministic, return_emissions=True)
+        if posterior and cfg.use_crf:
+            trans = self.transition_matrix()
+            marg_s = crf_marginals(
+                emissions, batch["crf_mask"], trans, cfg.start_idx,
+                cfg.stop_idx)
+            marg_t = crf_marginals(
+                teacher_logits, batch["crf_mask"], trans, cfg.start_idx,
+                cfg.stop_idx)
+            kd = posterior_distillation_loss(
+                marg_s, marg_t, batch["crf_mask"])
+        else:
+            kd = distillation_loss(
+                emissions, teacher_logits, batch["crf_mask"],
+                temperature=temperature)
+        return interpolation * kd + (1.0 - interpolation) * loss
+
     def marginals(self, batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
         """Posterior tag marginals (posterior distillation / multi-view)."""
         cfg = self.config

@@ -1,0 +1,164 @@
+"""Knowledge-distillation trainer.
+
+TPU-native counterpart of ``ModelDistiller``/KD mode of ``ModelFinetuner``
+(``/root/reference/flair/trainers/distillation_trainer.py``): teacher
+predictions are cached up front — each teacher visits the device once, runs
+over the (fixed) train batches, and its emission scores are stored on host
+(``assign_pretrained_teacher_predictions`` ``:709-774``; teachers freed after
+caching, ``finetune_trainer.py:634-636``). Training then interpolates the
+gold CRF NLL with a distillation term (``interpolation`` weight, logit CE/MSE
+or posterior-marginal CE).
+
+Teachers may be per-language: ``teacher_for_lang`` maps a corpus lang_id to
+the teacher whose cached scores that sentence uses (the reference constructs
+one teacher per corpus config, ``config_parser.py:242-274``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.encode import EncodedBatch, make_batches
+from .trainer import FinetuneTrainer, TrainConfig, log
+
+
+@dataclasses.dataclass
+class DistillConfig(TrainConfig):
+    interpolation: float = 0.5
+    temperature: float = 1.0
+    posterior: bool = False  # distill CRF posterior marginals instead of logits
+
+
+class DistillationTrainer(FinetuneTrainer):
+    """Fine-tunes a student against cached teacher emissions.
+
+    ``teachers``: list of (model, params). With one teacher, all sentences
+    use it; with several, sentence lang_id indexes the list.
+    """
+
+    def __init__(self, *args, teachers: Sequence[Tuple[Any, Any]] = (),
+                 **kwargs):
+        super().__init__(*args, **kwargs)
+        self.teachers = list(teachers)
+
+    # -- teacher caching ------------------------------------------------------
+
+    def _teacher_emissions(self, batches: List[EncodedBatch]) -> List[np.ndarray]:
+        """Teacher emission scores per batch, cached to host arrays.
+
+        Teachers run one at a time (device-resident only during their pass,
+        mirroring the reference's teacher offload).
+        """
+        out: List[Optional[np.ndarray]] = [None] * len(batches)
+        for t_idx, (t_model, t_params) in enumerate(self.teachers):
+            @jax.jit
+            def emit(params, batch):
+                return t_model.apply(
+                    params, batch["input_ids"], batch["attention_mask"],
+                    batch["word_starts"], batch["word_mask"],
+                    deterministic=True)
+
+            for b_idx, eb in enumerate(batches):
+                # teacher index = sentence lang_id (one teacher per corpus);
+                # a single teacher serves every sentence
+                owner = np.clip(eb.lang_ids, 0, len(self.teachers) - 1)
+                rows = owner == t_idx
+                if not rows.any():
+                    continue
+                arrays = {k: jnp.asarray(v) for k, v in eb.arrays().items()}
+                logits = np.asarray(emit(t_params, arrays))
+                if out[b_idx] is None:
+                    out[b_idx] = np.zeros_like(logits)
+                out[b_idx][rows] = logits[rows]
+        log.info("cached teacher emissions for %d batches", len(batches))
+        return [o for o in out]
+
+    # -- training -------------------------------------------------------------
+
+    def train(self, base_path, config: DistillConfig) -> Dict[str, Any]:
+        import time
+        from pathlib import Path
+
+        from .optim import make_finetune_optimizer
+
+        base_path = Path(base_path)
+        base_path.mkdir(parents=True, exist_ok=True)
+        self.tag_dict.save(base_path / "tag_dictionary.json")
+        self._apply_corpus_surgery(config)
+
+        # fixed batch composition so teacher caches stay aligned
+        batches = make_batches(
+            self.corpus.train, self.tokenizer, self.tag_dict,
+            config.batch_size, shuffle=False, tag_layer=self.tag_layer,
+            max_subtokens=config.max_subtokens)
+        teacher_logits = self._teacher_emissions(batches)
+
+        total_steps = max(1, len(batches)) * config.max_epochs
+        warmup = int(total_steps * config.warmup_fraction)
+        tx = make_finetune_optimizer(
+            self.params, lr=config.learning_rate, lr_rate=config.lr_rate,
+            warmup_steps=warmup, total_steps=total_steps,
+            weight_decay=config.weight_decay, grad_clip=config.grad_clip,
+            accumulation_steps=config.accumulation_steps,
+            use_inverse_sqrt=config.use_inverse_sqrt)
+        opt_state = tx.init(self.params)
+
+        model = self.model
+        interp, temp, post = (config.interpolation, config.temperature,
+                              config.posterior)
+
+        def train_step(params, opt_state, batch, t_logits, rng):
+            def loss_fn(p):
+                return model.apply(
+                    p, batch, t_logits, deterministic=False,
+                    interpolation=interp, temperature=temp, posterior=post,
+                    method=model.distill_loss, rngs={"dropout": rng})
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(
+                lambda a, b: a + b, params, updates)
+            return params, opt_state, loss
+
+        step = jax.jit(train_step, donate_argnums=(0, 1))
+        rng = jax.random.PRNGKey(config.seed)
+        rng_order = np.random.RandomState(config.seed)
+        best_score = -1.0
+        history = {"train_loss": [], "dev_score": []}
+
+        for epoch in range(config.max_epochs):
+            t0 = time.time()
+            order = rng_order.permutation(len(batches))
+            losses = []
+            for b_idx in order:
+                eb = batches[b_idx]
+                arrays = self._to_device(eb)
+                t_log = jnp.asarray(teacher_logits[b_idx])
+                rng, step_rng = jax.random.split(rng)
+                self.params, opt_state, loss = step(
+                    self.params, opt_state, arrays, t_log, step_rng)
+                losses.append(float(loss))
+            train_loss = float(np.mean(losses)) if losses else 0.0
+            history["train_loss"].append(train_loss)
+
+            dev_scores = []
+            for dev_set in self.corpus.dev_list:
+                if dev_set:
+                    metric, _ = self.evaluate(dev_set, config.eval_batch_size)
+                    dev_scores.append(metric.micro_avg_f_score())
+            dev_score = (float(np.mean(dev_scores)) if dev_scores
+                         else train_loss)
+            history["dev_score"].append(dev_score)
+            log.info("KD epoch %d  loss %.4f  dev %.4f  (%.1fs)",
+                     epoch + 1, train_loss, dev_score, time.time() - t0)
+            if dev_score >= best_score:
+                best_score = dev_score
+                self.save(base_path / "best-model.msgpack")
+
+        self.save(base_path / "final-model.msgpack")
+        return {"best_dev_score": best_score, "history": history}

@@ -62,6 +62,19 @@ class TrainConfig:
     eval_batch_size: int = 32
     save_finetuned_encoder: bool = False
     monitor_test: bool = False
+    # corpus surgery (finetune_trainer.py:98-214)
+    resample_smooth: Optional[float] = None  # language resampling p^0.7
+    direct_upsample_rate: Optional[int] = None
+    direct_upsample_max_size: Optional[int] = None
+    down_sample_amount: Optional[int] = None
+    clip_long_sentences: bool = False
+    # multi-view cooperative training (CLNER/ITA)
+    multi_view: bool = False
+    mv_agreement_weight: float = 1.0
+    mv_l2_weight: float = 0.0
+    mv_kind: str = "kl"
+    # first-epoch encoder freezing (finetune_trainer.py:693-695)
+    freeze_first_epoch: bool = False
 
 
 class FinetuneTrainer:
@@ -89,16 +102,37 @@ class FinetuneTrainer:
 
     # -- jitted steps ---------------------------------------------------------
 
-    def _build_train_step(self, tx):
-        model = self.model
+    def _encoder_mask(self):
+        """1.0 for encoder params, 0.0 elsewhere (first-epoch freezing)."""
+        def is_enc(path):
+            return 1.0 if any(
+                getattr(k, "key", None) == "encoder" for k in path) else 0.0
 
-        def train_step(params, opt_state, batch, rng):
+        return jax.tree_util.tree_map_with_path(
+            lambda p, _: is_enc(p), self.params)
+
+    def _build_train_step(self, tx, config: "TrainConfig"):
+        model = self.model
+        enc_mask = self._encoder_mask()
+        multi_view = config.multi_view
+        mv_kwargs = dict(
+            agreement_weight=config.mv_agreement_weight,
+            l2_weight=config.mv_l2_weight, kind=config.mv_kind)
+
+        def train_step(params, opt_state, batch, rng, freeze):
             def loss_fn(p):
+                if multi_view:
+                    return model.apply(
+                        p, batch["ctx"], batch["orig"], deterministic=False,
+                        method=model.multi_view_loss, rngs={"dropout": rng},
+                        **mv_kwargs)
                 return model.apply(
                     p, batch, deterministic=False, method=model.loss,
                     rngs={"dropout": rng})
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
+            grads = jax.tree_util.tree_map(
+                lambda g, m: g * (1.0 - freeze * m), grads, enc_mask)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = jax.tree_util.tree_map(
                 lambda a, b: a + b, params, updates)
@@ -119,11 +153,58 @@ class FinetuneTrainer:
 
     # -- training -------------------------------------------------------------
 
+    def _apply_corpus_surgery(self, config: TrainConfig) -> None:
+        from ..data import corpus_ops
+
+        if config.clip_long_sentences:
+            removed = corpus_ops.clip_sentences(
+                self.corpus, self.tokenizer, config.max_subtokens - 2)
+            if removed:
+                log.info("clipped %d over-budget train sentences", removed)
+        if config.down_sample_amount:
+            corpus_ops.down_sample(
+                self.corpus, config.down_sample_amount, seed=config.seed)
+        if config.direct_upsample_rate:
+            corpus_ops.direct_upsample(
+                self.corpus, config.direct_upsample_rate,
+                config.direct_upsample_max_size)
+
+    def _epoch_records(self, config: TrainConfig, epoch: int):
+        from ..data import corpus_ops
+
+        if config.resample_smooth:
+            return corpus_ops.resample_corpora(
+                self.corpus, smooth=config.resample_smooth,
+                seed=config.seed + epoch)
+        return self.corpus.train
+
+    def _make_train_batches(self, records, config: TrainConfig, epoch: int):
+        """Encoded batches; multi-view mode pairs each context batch with
+        the <EOS>-truncated view of the same sentences, in order."""
+        from ..data.corpus_ops import make_orig_view
+
+        batches = make_batches(
+            records, self.tokenizer, self.tag_dict,
+            config.batch_size, shuffle=True, seed=config.seed + epoch,
+            tag_layer=self.tag_layer, max_subtokens=config.max_subtokens)
+        if not config.multi_view:
+            return batches
+        paired = []
+        for eb in batches:
+            orig_records = [make_orig_view(r, self.tag_layer)
+                            for r in eb.records]
+            orig = encode_batch(
+                orig_records, self.tokenizer, self.tag_dict,
+                tag_layer=self.tag_layer, max_subtokens=config.max_subtokens)
+            paired.append((eb, orig))
+        return paired
+
     def train(self, base_path: str | Path, config: TrainConfig) -> Dict[str, Any]:
         base_path = Path(base_path)
         base_path.mkdir(parents=True, exist_ok=True)
         self.tag_dict.save(base_path / "tag_dictionary.json")
 
+        self._apply_corpus_surgery(config)
         train_records = self.corpus.train
         steps_per_epoch = max(
             1, (len(train_records) + config.batch_size - 1) // config.batch_size)
@@ -137,7 +218,7 @@ class FinetuneTrainer:
             accumulation_steps=config.accumulation_steps,
             use_inverse_sqrt=config.use_inverse_sqrt)
         opt_state = tx.init(self.params)
-        train_step = self._build_train_step(tx)
+        train_step = self._build_train_step(tx, config)
 
         rng = jax.random.PRNGKey(config.seed)
         best_score = -1.0
@@ -145,16 +226,21 @@ class FinetuneTrainer:
 
         for epoch in range(config.max_epochs):
             t0 = time.time()
-            batches = make_batches(
-                train_records, self.tokenizer, self.tag_dict,
-                config.batch_size, shuffle=True, seed=config.seed + epoch,
-                tag_layer=self.tag_layer, max_subtokens=config.max_subtokens)
+            records = self._epoch_records(config, epoch)
+            batches = self._make_train_batches(records, config, epoch)
+            freeze = jnp.asarray(
+                1.0 if (config.freeze_first_epoch and epoch == 0) else 0.0)
             losses = []
-            for i, eb in enumerate(batches):
-                arrays = self._to_device(eb)
+            for i, item in enumerate(batches):
+                if config.multi_view:
+                    eb, orig = item
+                    arrays = {"ctx": self._to_device(eb),
+                              "orig": self._to_device(orig)}
+                else:
+                    arrays = self._to_device(item)
                 rng, step_rng = jax.random.split(rng)
                 self.params, opt_state, loss = train_step(
-                    self.params, opt_state, arrays, step_rng)
+                    self.params, opt_state, arrays, step_rng, freeze)
                 losses.append(float(loss))
             train_loss = float(np.mean(losses)) if losses else 0.0
             history["train_loss"].append(train_loss)

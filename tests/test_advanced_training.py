@@ -1,0 +1,175 @@
+"""Multi-view training, knowledge distillation, corpus surgery, loss fns."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from kbner_tpu.data import (
+    HashTokenizer,
+    ListCorpus,
+    encode_batch,
+    load_column_corpus,
+    read_column_file,
+)
+from kbner_tpu.data.corpus_ops import (
+    clip_sentences,
+    direct_upsample,
+    down_sample,
+    make_orig_view,
+    resample_language_sizes,
+)
+from kbner_tpu.models import TaggerConfig, XLMRConfig, init_tagger
+from kbner_tpu.ops.losses import (
+    distillation_loss,
+    multi_view_loss,
+    posterior_distillation_loss,
+    token_ce_entropy_loss,
+)
+from kbner_tpu.train import FinetuneTrainer, TrainConfig
+from kbner_tpu.train.distill import DistillationTrainer, DistillConfig
+
+FIX = Path(__file__).parent / "fixtures"
+
+
+# -- loss functions ------------------------------------------------------------
+
+def test_distillation_loss_zero_when_equal():
+    logits = jnp.asarray(np.random.RandomState(0).randn(2, 4, 5))
+    mask = jnp.ones((2, 4))
+    # CE(teacher, teacher-softmax) is entropy > 0, but MSE is exactly 0
+    assert float(distillation_loss(logits, logits, mask, kind="mse")) == 0.0
+    # CE decreases as student approaches teacher
+    other = logits + 1.0 * jnp.asarray(np.random.RandomState(1).randn(2, 4, 5))
+    assert float(distillation_loss(logits, logits, mask, kind="ce")) < \
+        float(distillation_loss(other, logits, mask, kind="ce"))
+
+
+def test_posterior_distillation_masks():
+    m = jnp.asarray(np.full((1, 3, 4), 0.25))
+    t = jnp.asarray(np.eye(4)[None, :3])
+    mask_all = jnp.ones((1, 3))
+    mask_none = jnp.zeros((1, 3))
+    assert float(posterior_distillation_loss(m, t, mask_all)) > 0
+    assert float(posterior_distillation_loss(m, t, mask_none)) == 0.0
+
+
+def test_multi_view_loss_kl_zero_when_identical():
+    p = jax.nn.softmax(
+        jnp.asarray(np.random.RandomState(0).randn(2, 3, 5)), -1)
+    mask = jnp.ones((2, 3))
+    assert float(multi_view_loss(p, p, mask, kind="kl")) == pytest.approx(
+        0.0, abs=1e-6)
+
+
+def test_token_ce_entropy():
+    logits = jnp.zeros((1, 2, 4))
+    tags = jnp.zeros((1, 2), jnp.int32)
+    mask = jnp.ones((1, 2))
+    ce = float(token_ce_entropy_loss(logits, tags, mask))
+    assert ce == pytest.approx(np.log(4), abs=1e-5)
+    ent = float(token_ce_entropy_loss(logits, None, mask, entropy_weight=1.0))
+    assert ent == pytest.approx(np.log(4), abs=1e-5)
+
+
+# -- corpus surgery -------------------------------------------------------------
+
+def test_resample_language_sizes_smoothing():
+    targets = resample_language_sizes([1000, 10], smooth=0.7)
+    # small corpus gets a larger relative share than 10/1010
+    assert targets[1] / sum(targets) > 10 / 1010
+    assert sum(targets) == pytest.approx(1010, rel=0.1)
+
+
+def test_upsample_downsample_clip():
+    corpus = load_column_corpus(
+        FIX / "ner_toy", {0: "text", 1: "ner"}, comment_symbol="# id")
+    lc = ListCorpus([corpus])
+    direct_upsample(lc, rate=3)
+    assert len(lc.corpora[0].train) == 24
+    down_sample(lc, amount=5)
+    assert len(lc.corpora[0].train) == 5
+    tok = HashTokenizer()
+    removed = clip_sentences(lc, tok, max_subtokens=3)
+    assert removed > 0
+    assert all(len(r.tokens) <= 3 for r in lc.corpora[0].train)
+
+
+def test_make_orig_view():
+    recs = read_column_file(
+        FIX / "ner_ctx" / "train.txt", {0: "text", 1: "ner"},
+        comment_symbol="# id", tag_to_bioes="ner")
+    orig = make_orig_view(recs[0])
+    assert orig.tokens == ["Alice", "visited", "Berlin"]
+    assert orig.tags["ner"] == ["S-PER", "O", "S-LOC"]
+
+
+# -- end-to-end: multi-view + KD --------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ctx_setup():
+    recs = read_column_file(
+        FIX / "ner_ctx" / "train.txt", {0: "text", 1: "ner"},
+        comment_symbol="# id", tag_to_bioes="ner")
+    from kbner_tpu.data.conll import Corpus
+
+    corpus = Corpus(train=recs * 4, dev=recs, test=recs, name="ctx")
+    tag_dict = corpus.make_tag_dictionary("ner")
+    tokenizer = HashTokenizer(vocab_size=997)
+    cfg = TaggerConfig.for_tag_dictionary(
+        XLMRConfig.tiny(vocab_size=1000), tag_dict,
+        locked_dropout=0.0, word_dropout=0.0)
+    batch = encode_batch(corpus.train[:2], tokenizer, tag_dict)
+    model, params = init_tagger(
+        cfg, jax.random.PRNGKey(0),
+        {k: jnp.asarray(v) for k, v in batch.arrays().items()})
+    return corpus, tag_dict, tokenizer, cfg, model, params
+
+
+def _copy(params):
+    return jax.tree_util.tree_map(lambda x: x.copy(), params)
+
+
+def test_multi_view_training_runs(tmp_path, ctx_setup):
+    corpus, tag_dict, tokenizer, cfg, model, params = ctx_setup
+    trainer = FinetuneTrainer(
+        model, _copy(params), corpus, tokenizer, tag_dict)
+    result = trainer.train(tmp_path / "mv", TrainConfig(
+        learning_rate=1e-3, lr_rate=1.0, batch_size=4, max_epochs=5,
+        multi_view=True, mv_agreement_weight=1.0, mv_l2_weight=0.1))
+    assert np.isfinite(result["history"]["train_loss"]).all()
+    # loss decreases
+    assert result["history"]["train_loss"][-1] < \
+        result["history"]["train_loss"][0]
+
+
+def test_distillation_training_runs(tmp_path, ctx_setup):
+    corpus, tag_dict, tokenizer, cfg, model, params = ctx_setup
+    # teacher = randomly-initialized copy (structure is what's under test)
+    t_model, t_params = init_tagger(
+        cfg, jax.random.PRNGKey(7),
+        {k: jnp.asarray(v) for k, v in
+         encode_batch(corpus.train[:2], tokenizer, tag_dict).arrays().items()})
+    trainer = DistillationTrainer(
+        model, _copy(params), corpus, tokenizer, tag_dict,
+        teachers=[(t_model, t_params)])
+    result = trainer.train(tmp_path / "kd", DistillConfig(
+        learning_rate=1e-3, lr_rate=1.0, batch_size=4, max_epochs=3,
+        interpolation=0.5, temperature=2.0))
+    assert np.isfinite(result["history"]["train_loss"]).all()
+
+
+def test_freeze_first_epoch(tmp_path, ctx_setup):
+    corpus, tag_dict, tokenizer, cfg, model, params = ctx_setup
+    trainer = FinetuneTrainer(
+        model, _copy(params), corpus, tokenizer, tag_dict)
+    before = np.asarray(
+        trainer.params["params"]["encoder"]["word_embeddings"]["embedding"])
+    trainer.train(tmp_path / "fz", TrainConfig(
+        learning_rate=1e-2, lr_rate=1.0, batch_size=8, max_epochs=1,
+        freeze_first_epoch=True))
+    after = np.asarray(
+        trainer.params["params"]["encoder"]["word_embeddings"]["embedding"])
+    np.testing.assert_allclose(before, after)  # encoder untouched in epoch 0
