@@ -42,13 +42,16 @@ class EncodedBatch:
     crf_mask: np.ndarray
     lang_ids: np.ndarray
     records: Optional[List[SentenceRecord]] = None
+    # classic-embedding inputs (word_ids, char_ids, char_stream, ...) added
+    # by add_classic_features for the non-transformer embedder families
+    extra: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
 
     @property
     def num_sentences(self) -> int:
         return self.input_ids.shape[0]
 
     def arrays(self) -> Dict[str, np.ndarray]:
-        return {
+        out = {
             "input_ids": self.input_ids,
             "attention_mask": self.attention_mask,
             "word_starts": self.word_starts,
@@ -57,6 +60,8 @@ class EncodedBatch:
             "crf_mask": self.crf_mask,
             "lang_ids": self.lang_ids,
         }
+        out.update(self.extra)
+        return out
 
 
 def round_up(x: int, multiple: int) -> int:
@@ -176,3 +181,96 @@ def make_batches(
                      **encode_kwargs)
         for chunk in chunks
     ]
+
+
+def build_word_vocab(records: Sequence[SentenceRecord]) -> "Dictionary":
+    """Token vocabulary over a corpus (index 0 = <unk>), for WordEmbedder."""
+    from .dictionary import Dictionary
+
+    vocab = Dictionary(add_unk=True)
+    for rec in records:
+        for tok in rec.tokens:
+            vocab.add_item(tok)
+    return vocab
+
+
+def build_char_vocab(records: Sequence[SentenceRecord]) -> "Dictionary":
+    """Character vocabulary (index 0 = <unk>, includes ' ' separator)."""
+    from .dictionary import Dictionary
+
+    vocab = Dictionary(add_unk=True)
+    vocab.add_item(" ")
+    for rec in records:
+        for tok in rec.tokens:
+            for ch in tok:
+                vocab.add_item(ch)
+    return vocab
+
+
+def add_classic_features(
+    eb: EncodedBatch,
+    word_vocab=None,
+    char_vocab=None,
+    max_chars_per_word: int = 16,
+    max_stream_chars: int = 1024,
+) -> EncodedBatch:
+    """Attach word-id / char-id / char-stream arrays for the classic
+    embedder families (word vectors, char-BiLSTM, Flair char-LM).
+
+    The word axis matches the batch's existing [B, W] padding. The char
+    stream is the space-joined sentence with per-word first/last char
+    positions for Flair-style LM extraction (embeddings.py:2271-2553).
+    """
+    if eb.records is None:
+        raise ValueError("add_classic_features needs eb.records")
+    B, W = eb.word_mask.shape
+
+    if word_vocab is not None:
+        word_ids = np.zeros((B, W), dtype=np.int32)
+        for b, rec in enumerate(eb.records):
+            for w, tok in enumerate(rec.tokens[:W]):
+                word_ids[b, w] = word_vocab.item2idx.get(tok, 0)
+        eb.extra["word_ids"] = word_ids
+
+    if char_vocab is not None:
+        C = max_chars_per_word
+        char_ids = np.zeros((B, W, C), dtype=np.int32)
+        char_mask = np.zeros((B, W, C), dtype=np.int32)
+        # sentence char stream + word boundaries
+        stream_len = 0
+        streams = []
+        bounds = []
+        for rec in eb.records:
+            chars: List[int] = []
+            starts, ends = [], []
+            for w, tok in enumerate(rec.tokens[:W]):
+                if w > 0:
+                    chars.append(char_vocab.item2idx.get(" ", 0))
+                starts.append(len(chars))
+                for ch in tok:
+                    chars.append(char_vocab.item2idx.get(ch, 0))
+                ends.append(max(len(chars) - 1, 0))
+            chars = chars[:max_stream_chars]
+            streams.append(chars)
+            bounds.append((starts, ends))
+            stream_len = max(stream_len, len(chars))
+        T = round_up(max(stream_len, 1), 32)
+        T = min(T, max_stream_chars)
+        char_stream = np.zeros((B, T), dtype=np.int32)
+        word_char_starts = np.zeros((B, W), dtype=np.int32)
+        word_char_ends = np.zeros((B, W), dtype=np.int32)
+        for b, (rec, chars, (starts, ends)) in enumerate(
+                zip(eb.records, streams, bounds)):
+            char_stream[b, : len(chars)] = chars
+            for w, tok in enumerate(rec.tokens[:W]):
+                word_char_starts[b, w] = min(starts[w], T - 1)
+                word_char_ends[b, w] = min(ends[w], T - 1)
+                for c, ch in enumerate(tok[:C]):
+                    char_ids[b, w, c] = char_vocab.item2idx.get(ch, 0)
+                    char_mask[b, w, c] = 1
+        eb.extra["char_ids"] = char_ids
+        eb.extra["char_mask"] = char_mask
+        eb.extra["char_stream"] = char_stream
+        eb.extra["word_char_starts"] = word_char_starts
+        eb.extra["word_char_ends"] = word_char_ends
+    return eb

@@ -83,21 +83,27 @@ class SequenceTagger(nn.Module):
         t = t.at[cfg.stop_idx, :].set(NO_TRANS)
         return t
 
-    def _word_features(
-        self,
-        input_ids: jnp.ndarray,  # [B, S]
-        attention_mask: jnp.ndarray,  # [B, S]
-        word_starts: jnp.ndarray,  # [B, W]
-        word_mask: jnp.ndarray,  # [B, W]
-        deterministic: bool,
+    def _extract_features(
+        self, batch: Dict[str, jnp.ndarray], deterministic: bool,
+        selection=None,
     ) -> jnp.ndarray:
-        cfg = self.config
-        hidden, _ = self.encoder(input_ids, attention_mask,
-                                 deterministic=deterministic)
+        """Raw word-level features [B, W, H]; subclasses override this to
+        swap the embedding source (stacked/classic embedders)."""
+        hidden, _ = self.encoder(
+            batch["input_ids"], batch["attention_mask"],
+            deterministic=deterministic)
         # first-subtoken gather: word w of sentence b -> hidden[b, starts[b,w]]
         feats = jnp.take_along_axis(
-            hidden, word_starts[:, :, None], axis=1)  # [B, W, H]
-        feats = feats * word_mask[:, :, None].astype(feats.dtype)
+            hidden, batch["word_starts"][:, :, None], axis=1)  # [B, W, H]
+        return feats
+
+    def _word_features(
+        self, batch: Dict[str, jnp.ndarray], deterministic: bool,
+        selection=None,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        feats = self._extract_features(batch, deterministic, selection)
+        feats = feats * batch["word_mask"][:, :, None].astype(feats.dtype)
 
         if not deterministic and cfg.word_dropout > 0:
             # WordDropout (flair/nn.py:166-187): zero whole word vectors.
@@ -117,16 +123,17 @@ class SequenceTagger(nn.Module):
             feats = feats * mask / keep
         return feats
 
-    def emissions(self, input_ids, attention_mask, word_starts, word_mask,
-                  deterministic: bool = True) -> jnp.ndarray:
-        feats = self._word_features(
-            input_ids, attention_mask, word_starts, word_mask, deterministic)
+    def emissions(self, batch: Dict[str, jnp.ndarray],
+                  deterministic: bool = True, selection=None) -> jnp.ndarray:
+        feats = self._word_features(batch, deterministic, selection)
         return self.emission(feats.astype(jnp.float32))  # [B, W, K]
 
     def __call__(self, input_ids, attention_mask, word_starts, word_mask,
                  deterministic: bool = True):
-        return self.emissions(input_ids, attention_mask, word_starts,
-                              word_mask, deterministic)
+        return self.emissions(
+            {"input_ids": input_ids, "attention_mask": attention_mask,
+             "word_starts": word_starts, "word_mask": word_mask},
+            deterministic)
 
     # -- losses ---------------------------------------------------------------
 
@@ -138,10 +145,7 @@ class SequenceTagger(nn.Module):
     ):
         """Mean per-sentence loss (reference `_calculate_loss`, :2426-2506)."""
         cfg = self.config
-        emissions = self.emissions(
-            batch["input_ids"], batch["attention_mask"],
-            batch["word_starts"], batch["word_mask"],
-            deterministic=deterministic)
+        emissions = self.emissions(batch, deterministic=deterministic)
         if cfg.use_crf:
             nll = crf_neg_log_likelihood(
                 emissions, batch["tag_ids"], batch["crf_mask"],
@@ -164,9 +168,7 @@ class SequenceTagger(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Viterbi (or argmax) tags [B, W] + scores [B]."""
         cfg = self.config
-        emissions = self.emissions(
-            batch["input_ids"], batch["attention_mask"],
-            batch["word_starts"], batch["word_mask"], deterministic=True)
+        emissions = self.emissions(batch, deterministic=True)
         if cfg.use_crf:
             return crf_decode(
                 emissions, batch["crf_mask"], self.transition_matrix(),
@@ -197,12 +199,8 @@ class SequenceTagger(nn.Module):
         from ..ops.losses import multi_view_loss as mv_loss
 
         cfg = self.config
-        feats_ctx = self._word_features(
-            batch["input_ids"], batch["attention_mask"],
-            batch["word_starts"], batch["word_mask"], deterministic)
-        feats_orig = self._word_features(
-            orig_batch["input_ids"], orig_batch["attention_mask"],
-            orig_batch["word_starts"], orig_batch["word_mask"], deterministic)
+        feats_ctx = self._word_features(batch, deterministic)
+        feats_orig = self._word_features(orig_batch, deterministic)
         em_ctx = self.emission(feats_ctx.astype(jnp.float32))
         em_orig = self.emission(feats_orig.astype(jnp.float32))
 
@@ -275,9 +273,7 @@ class SequenceTagger(nn.Module):
     def marginals(self, batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
         """Posterior tag marginals (posterior distillation / multi-view)."""
         cfg = self.config
-        emissions = self.emissions(
-            batch["input_ids"], batch["attention_mask"],
-            batch["word_starts"], batch["word_mask"], deterministic=True)
+        emissions = self.emissions(batch, deterministic=True)
         if cfg.use_crf:
             return crf_marginals(
                 emissions, batch["crf_mask"], self.transition_matrix(),
@@ -295,4 +291,46 @@ def init_tagger(
         example["word_starts"], example["word_mask"],
         deterministic=True,
     )
+    return model, params
+
+class StackedSequenceTagger(SequenceTagger):
+    """Sequence tagger over a stack of embedders (ACE substrate).
+
+    Replaces the XLM-R-only feature source with a ``StackedEmbedder`` —
+    word vectors, char-BiLSTM, Flair char-LMs, frozen transformers — with an
+    optional per-member selection mask (``batch['selection']``, a float [N]
+    vector sampled by the ACE controller). Mirrors the embedding-selection
+    masking of the reference (sequence_tagger_model.py:844-1052).
+    """
+
+    specs: Tuple = ()
+
+    def setup(self):
+        from .embedders import StackedEmbedder
+
+        cfg = self.config
+        self.stack = StackedEmbedder(
+            tuple(s.module for s in self.specs), name="stack")
+        total_dim = sum(s.dim for s in self.specs)
+        if cfg.relearn_embeddings:
+            self.embedding2nn = nn.Dense(total_dim, name="embedding2nn")
+        self.emission = nn.Dense(cfg.num_tags, dtype=jnp.float32,
+                                 name="emission")
+        if cfg.use_crf:
+            self.transitions = self.param(
+                "transitions",
+                nn.initializers.normal(stddev=1.0),
+                (cfg.num_tags, cfg.num_tags),
+            )
+
+    def _extract_features(self, batch, deterministic, selection=None):
+        sel = selection if selection is not None else batch.get("selection")
+        return self.stack(batch, sel)
+
+
+def init_stacked_tagger(config: TaggerConfig, specs, rng: jax.Array,
+                        example: Dict[str, jnp.ndarray]):
+    model = StackedSequenceTagger(config, specs=tuple(specs))
+    params = model.init({"params": rng}, example, deterministic=True,
+                        method=model.emissions)
     return model, params

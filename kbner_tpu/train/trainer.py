@@ -99,6 +99,12 @@ class FinetuneTrainer:
         self.tag_layer = tag_layer
         self._decode_fn = None
         self._x_tag = "S-" + X_LABEL
+        # ACE: fixed embedder-selection mask injected into every batch
+        # (set per episode by the reinforcement loop)
+        self.selection: Optional[np.ndarray] = None
+        # extra feature vocabularies for classic embedders (word/char ids)
+        self.word_vocab = None
+        self.char_vocab = None
 
     # -- jitted steps ---------------------------------------------------------
 
@@ -268,11 +274,21 @@ class FinetuneTrainer:
         return {"best_dev_score": best_score, "history": history}
 
     def _to_device(self, eb: EncodedBatch) -> Dict[str, jnp.ndarray]:
+        if (self.word_vocab is not None or self.char_vocab is not None) \
+                and "word_ids" not in eb.extra and "char_ids" not in eb.extra:
+            from ..data.encode import add_classic_features
+
+            add_classic_features(eb, self.word_vocab, self.char_vocab)
         arrays = eb.arrays()
         if self.mesh is not None:
             arrays = pad_batch_for_mesh(arrays, self.mesh)
-            return shard_batch(arrays, self.mesh)
-        return {k: jnp.asarray(v) for k, v in arrays.items()}
+            out = shard_batch(arrays, self.mesh)
+        else:
+            out = {k: jnp.asarray(v) for k, v in arrays.items()}
+        if self.selection is not None:
+            # [N_embedders] mask, replicated (not batch-sharded)
+            out["selection"] = jnp.asarray(self.selection)
+        return out
 
     # -- evaluation -----------------------------------------------------------
 

@@ -1,0 +1,169 @@
+"""Classic embedders, stacked tagger, ACE controller/episodes, char-LM."""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kbner_tpu.data import HashTokenizer, encode_batch, load_column_corpus
+from kbner_tpu.data.encode import (
+    add_classic_features,
+    build_char_vocab,
+    build_word_vocab,
+)
+from kbner_tpu.models import TaggerConfig, XLMRConfig
+from kbner_tpu.models.embedders import (
+    CharBiLSTMEmbedder,
+    CharLMHead,
+    EmbedderSpec,
+    FlairLMEmbedder,
+    StackedEmbedder,
+    WordEmbedder,
+)
+from kbner_tpu.models.tagger import StackedSequenceTagger, init_stacked_tagger
+from kbner_tpu.train import FinetuneTrainer, TrainConfig
+from kbner_tpu.train.lm_trainer import LanguageModelTrainer, LMTrainConfig
+from kbner_tpu.train.reinforce import (
+    EmbedController,
+    ReinforcementTrainer,
+    ReinforceConfig,
+)
+
+FIX = Path(__file__).parent / "fixtures"
+
+
+@pytest.fixture(scope="module")
+def setup():
+    corpus = load_column_corpus(
+        FIX / "ner_toy", {0: "text", 1: "ner"}, comment_symbol="# id")
+    tag_dict = corpus.make_tag_dictionary("ner")
+    tokenizer = HashTokenizer(vocab_size=997)
+    word_vocab = build_word_vocab(corpus.train)
+    char_vocab = build_char_vocab(corpus.train)
+    eb = encode_batch(corpus.train[:4], tokenizer, tag_dict)
+    add_classic_features(eb, word_vocab, char_vocab)
+    arrays = {k: jnp.asarray(v) for k, v in eb.arrays().items()}
+    return corpus, tag_dict, tokenizer, word_vocab, char_vocab, eb, arrays
+
+
+def test_classic_feature_arrays(setup):
+    corpus, tag_dict, tok, wv, cv, eb, arrays = setup
+    B, W = eb.word_mask.shape
+    assert eb.extra["word_ids"].shape == (B, W)
+    assert eb.extra["char_ids"].shape[0:2] == (B, W)
+    # word ids decode back to tokens
+    r0 = corpus.train[0]
+    ids = eb.extra["word_ids"][0][: len(r0.tokens)]
+    assert [wv.get_item_for_index(i) for i in ids] == r0.tokens
+    # char stream boundaries point at word chars
+    s0 = eb.extra["word_char_starts"][0, 0]
+    assert cv.get_item_for_index(eb.extra["char_stream"][0, s0]) == \
+        r0.tokens[0][0]
+
+
+
+def test_embedders_shapes(setup):
+    corpus, tag_dict, tok, wv, cv, eb, arrays = setup
+    B, W = eb.word_mask.shape
+    we = WordEmbedder(vocab_size=len(wv), dim=16)
+    p = we.init(jax.random.PRNGKey(0), arrays)
+    out = we.apply(p, arrays)
+    assert out.shape == (B, W, 16)
+
+    ce = CharBiLSTMEmbedder(char_vocab_size=len(cv), char_dim=8, hidden=6)
+    p = ce.init(jax.random.PRNGKey(0), arrays)
+    out = ce.apply(p, arrays)
+    assert out.shape == (B, W, 12)
+
+    fe = FlairLMEmbedder(char_vocab_size=len(cv), embed_dim=8, hidden=10)
+    p = fe.init(jax.random.PRNGKey(0), arrays)
+    out = fe.apply(p, arrays)
+    assert out.shape == (B, W, 20)
+
+
+def test_stacked_selection_zeroes_members(setup):
+    corpus, tag_dict, tok, wv, cv, eb, arrays = setup
+    specs = (
+        EmbedderSpec("w", WordEmbedder(vocab_size=len(wv), dim=8), 8),
+        EmbedderSpec("c", CharBiLSTMEmbedder(char_vocab_size=len(cv),
+                                             char_dim=4, hidden=4), 8),
+    )
+    stack = StackedEmbedder(tuple(s.module for s in specs))
+    p = stack.init(jax.random.PRNGKey(0), arrays)
+    full = stack.apply(p, arrays, jnp.asarray([1.0, 1.0]))
+    masked = stack.apply(p, arrays, jnp.asarray([1.0, 0.0]))
+    assert full.shape[-1] == 16
+    np.testing.assert_allclose(np.asarray(masked[..., 8:]), 0.0)
+    np.testing.assert_allclose(
+        np.asarray(masked[..., :8]), np.asarray(full[..., :8]))
+
+
+@pytest.fixture(scope="module")
+def stacked_trainer(setup, tmp_path_factory):
+    corpus, tag_dict, tok, wv, cv, eb, arrays = setup
+    specs = (
+        EmbedderSpec("w", WordEmbedder(vocab_size=len(wv), dim=24), 24),
+        EmbedderSpec("c", CharBiLSTMEmbedder(char_vocab_size=len(cv),
+                                             char_dim=8, hidden=8), 16),
+    )
+    cfg = TaggerConfig.for_tag_dictionary(
+        XLMRConfig.tiny(vocab_size=1000), tag_dict,
+        locked_dropout=0.0, word_dropout=0.0)
+    model, params = init_stacked_tagger(
+        cfg, specs, jax.random.PRNGKey(0), arrays)
+    trainer = FinetuneTrainer(model, params, corpus, tok, tag_dict)
+    trainer.word_vocab = wv
+    trainer.char_vocab = cv
+    return trainer, specs
+
+
+def test_stacked_tagger_trains(tmp_path, stacked_trainer):
+    trainer, specs = stacked_trainer
+    trainer.selection = np.asarray([1.0, 1.0], np.float32)
+    result = trainer.train(tmp_path / "stk", TrainConfig(
+        learning_rate=0.05, lr_rate=1.0, batch_size=8, max_epochs=20))
+    metric, _ = trainer.evaluate(trainer.corpus.corpora[0].train)
+    assert metric.micro_avg_f_score() > 0.8
+
+
+def test_ace_controller_math():
+    c = EmbedController(3)
+    rng = np.random.RandomState(0)
+    visited = set()
+    m = c.sample(rng, visited)
+    assert m.shape == (3,) and m.sum() >= 1
+    p_before = c.probs().copy()
+    c.update(np.asarray([1.0, 0.0, 1.0]), reward=1.0)
+    p_after = c.probs()
+    # positive reward raises probability of chosen members, lowers others
+    assert p_after[0] > p_before[0] and p_after[2] > p_before[2]
+    assert p_after[1] < p_before[1]
+
+
+def test_ace_episode_loop(tmp_path):
+    # reward oracle: best mask is [1, 0] — the loop should find it
+    def run_episode(mask):
+        return 0.9 if (mask[0] > 0 and mask[1] == 0) else 0.3
+
+    rt = ReinforcementTrainer(
+        2, run_episode, ReinforceConfig(episodes=6, controller_lr=0.5))
+    result = rt.train(tmp_path / "ace")
+    assert result["best_f1"] == pytest.approx(0.9)
+    assert result["best_action"] == [1.0, 0.0]
+    assert (tmp_path / "ace" / "training_state.json").exists()
+
+
+def test_char_lm_trainer(tmp_path, setup):
+    corpus, tag_dict, tok, wv, cv, eb, arrays = setup
+    model = CharLMHead(char_vocab_size=len(cv), embed_dim=8, hidden=16)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 16), jnp.int32))
+    lm_trainer = LanguageModelTrainer(model, params, cv)
+    texts = [" ".join(r.tokens) for r in corpus.train] * 5
+    result = lm_trainer.train(texts, tmp_path / "lm", LMTrainConfig(
+        batch_size=4, seq_len=32, max_steps=60, log_every=1000))
+    losses = result["losses"]
+    assert losses[-1] < losses[0]  # learns something
+    assert (tmp_path / "lm" / "char-lm.msgpack").exists()
