@@ -42,6 +42,8 @@ class SentenceRecord:
     doc_id: int = -1
     lang_id: int = 0
     comment: Optional[str] = None
+    # sentence-level label(s) for classification/regression tasks
+    labels: List[str] = field(default_factory=list)
 
     def __len__(self) -> int:
         return len(self.tokens)
@@ -259,3 +261,28 @@ class ListCorpus:
                             yield rec.tags[tag_type]
 
         return make_tag_dictionary(iter_tags())
+
+
+def read_fasttext_file(
+    path: Union[str, Path],
+    label_prefix: str = "__label__",
+    encoding: str = "utf-8",
+    max_sentences: Optional[int] = None,
+) -> List[SentenceRecord]:
+    """Read a fastText-format classification file: ``__label__X token ...``
+    (the format of the reference's classification fixtures, e.g. ag_news)."""
+    out: List[SentenceRecord] = []
+    with open(path, encoding=encoding) as f:
+        for line in f:
+            parts = line.strip().split()
+            if not parts:
+                continue
+            labels = [p[len(label_prefix):] for p in parts
+                      if p.startswith(label_prefix)]
+            tokens = [p for p in parts if not p.startswith(label_prefix)]
+            if not tokens:
+                continue
+            out.append(SentenceRecord(tokens=tokens, labels=labels))
+            if max_sentences is not None and len(out) >= max_sentences:
+                break
+    return out

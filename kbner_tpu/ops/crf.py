@@ -254,3 +254,84 @@ def crf_marginals(
     marg = jnp.exp(jnp.moveaxis(log_marg, 0, 1))  # [B, T, K]
     uniform = jnp.full_like(marg, 1.0 / K)
     return jnp.where(mask[:, :, None], marg, uniform)
+
+
+def crf_decode_nbest(
+    emissions: jnp.ndarray,  # [B, T, K]
+    mask: jnp.ndarray,  # [B, T]
+    transitions: jnp.ndarray,  # [K, K]
+    start_idx: int,
+    stop_idx: int,
+    n_best: int = 5,
+    pad_tag: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """N-best Viterbi (reference ``_viterbi_decode_nbest``,
+    sequence_tagger_model.py:1660 / CRF.py:29-418).
+
+    Returns ``(tags [B, N, T] int32, scores [B, N] float32)``, best first.
+    State is [B, K, N]: the N best path scores ending in each tag; each scan
+    step takes a top-N over the (prev tag x prev rank) axis per next tag.
+    """
+    emissions = emissions.astype(jnp.float32)
+    transitions = transitions.astype(jnp.float32)
+    mask = mask.astype(bool)
+    B, T, K = emissions.shape
+    N = n_best
+
+    alpha0 = jnp.full((B, K, N), NEG_INF)
+    alpha0 = alpha0.at[:, :, 0].set(
+        transitions[start_idx][None, :] + emissions[:, 0, :])
+
+    # identity backpointers for masked steps
+    id_tag = jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32)[None, :, None], (B, K, N))
+    id_rank = jnp.broadcast_to(
+        jnp.arange(N, dtype=jnp.int32)[None, None, :], (B, K, N))
+
+    def step(alpha, inputs):
+        emit_t, mask_t = inputs  # [B, K], [B]
+        # cand[b, k', k, n] = alpha[b, k, n] + trans[k, k']
+        cand = alpha[:, None, :, :] + jnp.moveaxis(
+            transitions, 0, 1)[None, :, :, None]  # [B, K', K, N]
+        flat = cand.reshape(B, K, K * N)
+        vals, idx = jax.lax.top_k(flat, N)  # [B, K', N]
+        new_alpha = vals + emit_t[:, :, None]
+        prev_tag = (idx // N).astype(jnp.int32)
+        prev_rank = (idx % N).astype(jnp.int32)
+        alpha_out = jnp.where(mask_t[:, None, None], new_alpha, alpha)
+        bp_tag = jnp.where(mask_t[:, None, None], prev_tag, id_tag)
+        bp_rank = jnp.where(mask_t[:, None, None], prev_rank, id_rank)
+        return alpha_out, (bp_tag, bp_rank)
+
+    xs = (
+        jnp.moveaxis(emissions[:, 1:, :], 1, 0),
+        jnp.moveaxis(mask[:, 1:], 1, 0),
+    )
+    alphaT, (bp_tags, bp_ranks) = jax.lax.scan(step, alpha0, xs)
+
+    final = alphaT + transitions[:, stop_idx][None, :, None]  # [B, K, N]
+    flat = final.reshape(B, K * N)
+    best_scores, best_idx = jax.lax.top_k(flat, N)  # [B, N]
+    cur_tag = (best_idx // N).astype(jnp.int32)
+    cur_rank = (best_idx % N).astype(jnp.int32)
+
+    def backtrace(carry, bps):
+        tag_next, rank_next = carry  # [B, N] each
+        bp_tag_t, bp_rank_t = bps  # [B, K, N]
+        flat_idx = tag_next * N + rank_next
+        tag_t = jnp.take_along_axis(
+            bp_tag_t.reshape(B, K * N), flat_idx, axis=1)
+        rank_t = jnp.take_along_axis(
+            bp_rank_t.reshape(B, K * N), flat_idx, axis=1)
+        return (tag_t, rank_t), tag_next
+
+    (first_tag, _), tags_rev = jax.lax.scan(
+        backtrace, (cur_tag, cur_rank), (bp_tags, bp_ranks), reverse=True)
+    if T > 1:
+        tags = jnp.concatenate([first_tag[None], tags_rev], axis=0)
+    else:
+        tags = cur_tag[None]
+    tags = jnp.moveaxis(tags, 0, 1)  # [B, T?, N] -> actually [B, T, N]
+    tags = jnp.swapaxes(tags, 1, 2)  # [B, N, T]
+    tags = jnp.where(mask[:, None, :], tags, pad_tag)
+    return tags.astype(jnp.int32), best_scores

@@ -75,6 +75,9 @@ class TrainConfig:
     mv_kind: str = "kl"
     # first-epoch encoder freezing (finetune_trainer.py:693-695)
     freeze_first_epoch: bool = False
+    # per-epoch checkpointing with optimizer state + resume
+    checkpoint: bool = False
+    resume: bool = False
 
 
 class FinetuneTrainer:
@@ -230,48 +233,117 @@ class FinetuneTrainer:
         best_score = -1.0
         history = {"train_loss": [], "dev_score": []}
 
-        for epoch in range(config.max_epochs):
-            t0 = time.time()
-            records = self._epoch_records(config, epoch)
-            batches = self._make_train_batches(records, config, epoch)
-            freeze = jnp.asarray(
-                1.0 if (config.freeze_first_epoch and epoch == 0) else 0.0)
-            losses = []
-            for i, item in enumerate(batches):
-                if config.multi_view:
-                    eb, orig = item
-                    arrays = {"ctx": self._to_device(eb),
-                              "orig": self._to_device(orig)}
-                else:
-                    arrays = self._to_device(item)
-                rng, step_rng = jax.random.split(rng)
-                self.params, opt_state, loss = train_step(
-                    self.params, opt_state, arrays, step_rng, freeze)
-                losses.append(float(loss))
-            train_loss = float(np.mean(losses)) if losses else 0.0
-            history["train_loss"].append(train_loss)
+        start_epoch = 0
+        ckpt_path = base_path / "checkpoint.msgpack"
+        if config.resume and ckpt_path.exists():
+            state = self._load_checkpoint(ckpt_path, opt_state)
+            opt_state, start_epoch = state["opt_state"], state["epoch"] + 1
+            best_score = state["best_score"]
+            history = state["history"]
+            log.info("resumed from checkpoint at epoch %d", start_epoch)
 
-            # dataset-level macro-avg dev score (finetune_trainer.py:1099-1130)
-            dev_scores = []
-            for dev_set in self.corpus.dev_list:
-                if dev_set:
-                    metric, _ = self.evaluate(dev_set, config.eval_batch_size)
-                    dev_scores.append(metric.micro_avg_f_score())
-            dev_score = float(np.mean(dev_scores)) if dev_scores else train_loss
-            history["dev_score"].append(dev_score)
-            log.info(
-                "epoch %d  loss %.4f  dev %.4f  (%.1fs)",
-                epoch + 1, train_loss, dev_score, time.time() - t0)
+        loss_tsv = base_path / "loss.tsv"
+        if start_epoch == 0:
+            loss_tsv.write_text(
+                "EPOCH\tTIMESTAMP\tTRAIN_LOSS\tDEV_SCORE\n")
 
-            if dev_score >= best_score:
-                best_score = dev_score
-                self.save(base_path / "best-model.msgpack")
-                if config.save_finetuned_encoder:
-                    self.save_encoder(base_path / "finetuned-encoder.msgpack")
+        try:
+            for epoch in range(start_epoch, config.max_epochs):
+                t0 = time.time()
+                records = self._epoch_records(config, epoch)
+                batches = self._make_train_batches(records, config, epoch)
+                freeze = jnp.asarray(
+                    1.0 if (config.freeze_first_epoch and epoch == 0) else 0.0)
+                losses = []
+                for i, item in enumerate(batches):
+                    if config.multi_view:
+                        eb, orig = item
+                        arrays = {"ctx": self._to_device(eb),
+                                  "orig": self._to_device(orig)}
+                    else:
+                        arrays = self._to_device(item)
+                    rng, step_rng = jax.random.split(rng)
+                    self.params, opt_state, loss = train_step(
+                        self.params, opt_state, arrays, step_rng, freeze)
+                    losses.append(float(loss))
+                train_loss = float(np.mean(losses)) if losses else 0.0
+                history["train_loss"].append(train_loss)
+
+                # dataset-level macro-avg dev score
+                # (finetune_trainer.py:1099-1130)
+                dev_scores = []
+                for dev_set in self.corpus.dev_list:
+                    if dev_set:
+                        metric, _ = self.evaluate(
+                            dev_set, config.eval_batch_size)
+                        dev_scores.append(metric.micro_avg_f_score())
+                dev_score = (float(np.mean(dev_scores)) if dev_scores
+                             else train_loss)
+                history["dev_score"].append(dev_score)
+                log.info(
+                    "epoch %d  loss %.4f  dev %.4f  (%.1fs)",
+                    epoch + 1, train_loss, dev_score, time.time() - t0)
+                with open(loss_tsv, "a") as f:
+                    f.write(f"{epoch + 1}\t{time.strftime('%H:%M:%S')}\t"
+                            f"{train_loss:.6f}\t{dev_score:.6f}\n")
+
+                if dev_score >= best_score:
+                    best_score = dev_score
+                    self.save(base_path / "best-model.msgpack")
+                    if config.save_finetuned_encoder:
+                        self.save_encoder(
+                            base_path / "finetuned-encoder.msgpack")
+                if config.checkpoint:
+                    self._save_checkpoint(
+                        ckpt_path, opt_state, epoch, best_score, history)
+        except KeyboardInterrupt:
+            # the reference saves a final model on interrupt
+            # (finetune_trainer.py:1314-1324)
+            log.info("interrupted — saving final-model")
+            self.save(base_path / "final-model.msgpack")
+            raise
 
         self.save(base_path / "final-model.msgpack")
         (base_path / "history.json").write_text(json.dumps(history))
         return {"best_dev_score": best_score, "history": history}
+
+    # -- checkpoint/resume (nn.py:69-141 semantics) ---------------------------
+
+    def _save_checkpoint(self, path, opt_state, epoch, best_score, history):
+        blob = {
+            "params": self.params,
+            "opt_state": opt_state,
+            "meta": json.dumps({
+                "epoch": epoch, "best_score": best_score,
+                "history": history}),
+        }
+        Path(path).write_bytes(serialization.to_bytes(blob))
+
+    def _load_checkpoint(self, path, opt_state_template):
+        blob = {
+            "params": self.params,
+            "opt_state": opt_state_template,
+            "meta": "",
+        }
+        restored = serialization.from_bytes(blob, Path(path).read_bytes())
+        self.params = restored["params"]
+        meta = json.loads(restored["meta"])
+        return {
+            "opt_state": restored["opt_state"],
+            "epoch": meta["epoch"],
+            "best_score": meta["best_score"],
+            "history": meta["history"],
+        }
+
+    def evaluate_speed(self, records: Sequence[SentenceRecord],
+                       batch_size: int = 32) -> float:
+        """Decode throughput in sentences/s (reference --test_speed,
+        train.py:147-156)."""
+        # warmup (compile)
+        self.predict(records[: min(len(records), batch_size)], batch_size)
+        t0 = time.time()
+        self.predict(records, batch_size)
+        return len(records) / max(time.time() - t0, 1e-9)
 
     def _to_device(self, eb: EncodedBatch) -> Dict[str, jnp.ndarray]:
         if (self.word_vocab is not None or self.char_vocab is not None) \
