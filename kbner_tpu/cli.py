@@ -191,6 +191,27 @@ def cmd_ensemble(args):
                  len(all_systems), args.out)
 
 
+def cmd_evaluate(args):
+    """Span-F1 evaluation of a prediction file with 'token gold pred'
+    columns (conlleval equivalent, reference conlleval_perl.py)."""
+    from .data.conll import read_column_file
+    from .eval.metrics import evaluate_spans
+
+    recs = read_column_file(
+        args.predictions, {0: "text", 1: "gold", 2: "pred"},
+        comment_symbol=args.comment_symbol, tag_to_bioes=None)
+    gold = [r.tags["gold"] for r in recs]
+    pred = [r.tags["pred"] for r in recs]
+    metric = evaluate_spans(gold, pred)
+    print(metric)
+    print(json.dumps({
+        "micro_f1": metric.micro_avg_f_score(),
+        "macro_f1": metric.macro_avg_f_score(),
+        "precision": metric.precision(),
+        "recall": metric.recall(),
+    }))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="kbner_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -226,6 +247,11 @@ def main(argv=None):
     sp.add_argument("--threshold", type=float, default=None)
     sp.add_argument("--comment_symbol", default="# id")
     sp.set_defaults(fn=cmd_ensemble)
+
+    sp = sub.add_parser("evaluate")
+    sp.add_argument("predictions", help="file with 'token gold pred' lines")
+    sp.add_argument("--comment_symbol", default="# id")
+    sp.set_defaults(fn=cmd_evaluate)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -10,7 +10,16 @@ from .conll import (
     write_column_file,
 )
 from .subword import HashTokenizer, HFTokenizer, SubwordTokenizer, subtoken_length
-from .encode import EncodedBatch, encode_batch, make_batches
+from .encode import (
+    EncodedBatch,
+    add_classic_features,
+    build_char_vocab,
+    build_word_vocab,
+    encode_batch,
+    make_batches,
+)
+from .conll import read_fasttext_file
+from .doc_context import make_doc_context_records, strip_doc_context
 from .tag_schemes import (
     TagSpan,
     bioes_to_bio,
