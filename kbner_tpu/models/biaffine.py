@@ -354,3 +354,75 @@ def encode_span_labels(eb, tag_layer: str = "ner", label_dict=None) -> None:
                 labels[b, span.start, span.end - 1] = \
                     label_dict.item2idx.get(span.label, 0)
     eb.extra["span_labels"] = labels
+
+
+def eisner_decode(scores: np.ndarray) -> np.ndarray:
+    """Projective maximum spanning tree (Eisner's algorithm, O(n^3)).
+
+    ``scores[d, h]`` = score of arc h -> d over n nodes including ROOT at 0.
+    Returns head per node (head[0] = 0). Host-side counterpart of the
+    reference's ``parser/utils/alg.py:eisner`` (:181).
+    """
+    n = scores.shape[0]
+    NEGINF = -np.inf
+    # complete[c][i][j]: span i..j, head at i (c=1 right) or j (c=0 left)
+    inc = np.full((2, n, n), NEGINF)  # incomplete
+    com = np.full((2, n, n), NEGINF)  # complete
+    inc_bp = np.zeros((2, n, n), dtype=np.int64)
+    com_bp = np.zeros((2, n, n), dtype=np.int64)
+    for i in range(n):
+        inc[0, i, i] = inc[1, i, i] = 0.0
+        com[0, i, i] = com[1, i, i] = 0.0
+
+    for length in range(1, n):
+        for i in range(0, n - length):
+            j = i + length
+            # incomplete spans: arc between i and j
+            best, arg = NEGINF, i
+            for r in range(i, j):
+                v = com[1, i, r] + com[0, r + 1, j]
+                if v > best:
+                    best, arg = v, r
+            inc[0, i, j] = best + scores[i, j]  # j -> i (head j)
+            inc[1, i, j] = best + scores[j, i]  # i -> j (head i)
+            inc_bp[0, i, j] = inc_bp[1, i, j] = arg
+            # complete spans
+            best, arg = NEGINF, i
+            for r in range(i, j):
+                v = com[0, i, r] + inc[0, r, j]
+                if v > best:
+                    best, arg = v, r
+            com[0, i, j] = best
+            com_bp[0, i, j] = arg
+            best, arg = NEGINF, i + 1
+            for r in range(i + 1, j + 1):
+                v = inc[1, i, r] + com[1, r, j]
+                if v > best:
+                    best, arg = v, r
+            com[1, i, j] = best
+            com_bp[1, i, j] = arg
+
+    heads = np.zeros(n, dtype=np.int64)
+
+    def backtrack(i, j, direction, complete):
+        if i == j:
+            return
+        if complete:
+            r = com_bp[direction, i, j]
+            if direction == 0:
+                backtrack(i, r, 0, True)
+                backtrack(r, j, 0, False)
+            else:
+                backtrack(i, r, 1, False)
+                backtrack(r, j, 1, True)
+        else:
+            if direction == 0:
+                heads[i] = j
+            else:
+                heads[j] = i
+            r = inc_bp[direction, i, j]
+            backtrack(i, r, 1, True)
+            backtrack(r + 1, j, 0, True)
+
+    backtrack(0, n - 1, 1, True)
+    return heads

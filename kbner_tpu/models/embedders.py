@@ -242,3 +242,20 @@ class TransformerWordEmbedder(nn.Module):
         if not self.fine_tune:
             feats = jax.lax.stop_gradient(feats)
         return feats
+
+
+class ScalarMix(nn.Module):
+    """AllenNLP-style learned mixture of encoder layers
+    (reference ``embeddings.py:1445-1502``): softmax-normalized per-layer
+    weights + a global scale over the [L, B, S, H] hidden-state stack."""
+
+    num_layers: int
+
+    @nn.compact
+    def __call__(self, layer_stack: jnp.ndarray) -> jnp.ndarray:
+        weights = self.param(
+            "weights", nn.initializers.zeros, (self.num_layers,))
+        gamma = self.param("gamma", nn.initializers.ones, ())
+        norm = jax.nn.softmax(weights)
+        mixed = jnp.einsum("l,lbsh->bsh", norm, layer_stack)
+        return gamma * mixed

@@ -270,6 +270,39 @@ class SequenceTagger(nn.Module):
                 temperature=temperature)
         return interpolation * kd + (1.0 - interpolation) * loss
 
+    def kbest_distill_loss(
+        self,
+        batch: Dict[str, jnp.ndarray],
+        teacher_paths: jnp.ndarray,  # [B, N, W] int32 teacher k-best tags
+        teacher_weights: jnp.ndarray,  # [B, N] normalized path weights
+        deterministic: bool = False,
+        interpolation: float = 0.5,
+    ):
+        """Sequence-level KD on teacher k-best paths
+        (``assign_pretrained_teacher_targets``, distillation_trainer.py:1515+):
+        student maximizes the weighted log-likelihood of the teacher's k-best
+        sequences under its own CRF, mixed with the gold NLL.
+        """
+        from ..ops.crf import crf_forward, crf_gold_score
+
+        cfg = self.config
+        loss, emissions = self.loss(
+            batch, deterministic=deterministic, return_emissions=True)
+        trans = self.transition_matrix()
+        log_z = crf_forward(emissions, batch["crf_mask"], trans,
+                            cfg.start_idx, cfg.stop_idx)  # [B]
+
+        def path_ll(paths_n):  # [B, W]
+            gold = crf_gold_score(
+                emissions, paths_n, batch["crf_mask"], trans,
+                cfg.start_idx, cfg.stop_idx)
+            return gold - log_z
+
+        lls = jax.vmap(path_ll, in_axes=1, out_axes=1)(
+            teacher_paths)  # [B, N]
+        kd = -jnp.mean(jnp.sum(teacher_weights * lls, axis=1))
+        return interpolation * kd + (1.0 - interpolation) * loss
+
     def marginals(self, batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
         """Posterior tag marginals (posterior distillation / multi-view)."""
         cfg = self.config
