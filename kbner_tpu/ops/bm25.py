@@ -208,3 +208,125 @@ def bm25_topk(
     (top_scores, top_ids), _ = jax.lax.scan(
         chunk_step, init, jnp.arange(n_chunks))
     return top_scores, top_ids
+
+
+# -- two-pass pruned search (MaxScore-style) -----------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "n_candidates", "max_dup_shifts"),
+)
+def bm25_pruned_topk(
+    cand_doc: jnp.ndarray,  # [Q, P] int32 candidate doc ids (-1 pad)
+    cand_imp: jnp.ndarray,  # [Q, P] float32 rare-term impacts
+    fields: Tuple[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray], ...],
+    # per field: (q_terms [Q, Lq], q_weights [Q, Lq],
+    #             doc_terms [N, Ld] DOC-major, doc_impacts [N, Ld])
+    n_real_docs: int | jnp.ndarray = None,
+    k: int = 10,
+    n_candidates: int = 512,
+    max_dup_shifts: int = 16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-pass top-k: candidate generation from gathered rare-term postings
+    (host/native side produced ``cand_doc``/``cand_imp``), then exact BM25
+    rescoring of the top candidates.
+
+    The device-side replacement for Lucene's WAND/MaxScore pruning: work
+    scales with the rare terms' posting mass + n_candidates, not with the
+    collection size. Scores of returned docs are EXACT BM25; recall@k < 100%
+    only when a true top-k doc shares no rare term with the query.
+    """
+    Q, P = cand_doc.shape
+    SENTINEL = jnp.int32(2**31 - 2)
+    doc = jnp.where(cand_doc < 0, SENTINEL, cand_doc)
+
+    # sort each row by doc id, carrying impacts
+    order = jnp.argsort(doc, axis=1)
+    doc = jnp.take_along_axis(doc, order, axis=1)
+    imp = jnp.take_along_axis(cand_imp, order, axis=1)
+
+    # sum duplicate docs (each query term contributes <= once per doc, so
+    # duplicates per doc <= #rare terms <= max_dup_shifts)
+    summed = imp
+    for s in range(1, max_dup_shifts):
+        if s >= P:
+            break
+        match = doc[:, s:] == doc[:, :-s]
+        summed = summed.at[:, : P - s].add(
+            jnp.where(match, imp[:, s:], 0.0))
+
+    run_start = jnp.concatenate(
+        [jnp.ones((Q, 1), bool), doc[:, 1:] != doc[:, :-1]], axis=1)
+    valid = doc != SENTINEL
+    partial = jnp.where(run_start & valid, summed, -jnp.inf)
+
+    C = min(n_candidates, P)
+    part_scores, pos = jax.lax.top_k(partial, C)  # [Q, C]
+    cand_ids = jnp.take_along_axis(doc, pos, axis=1)  # [Q, C]
+    cand_valid = jnp.isfinite(part_scores)
+    safe_ids = jnp.where(cand_valid, cand_ids, 0)
+
+    # pass 2: exact rescoring over all fields
+    total = jnp.zeros((Q, C), jnp.float32)
+    for (qt, qw, dterms, dimps) in fields:
+        dt_rows = dterms[safe_ids]  # [Q, C, Ld]
+        di_rows = dimps[safe_ids]
+        Lq = qt.shape[1]
+        for l in range(Lq):
+            t = qt[:, l][:, None, None]  # [Q, 1, 1]
+            w = qw[:, l][:, None]  # [Q, 1]
+            m = dt_rows == t  # [Q, C, Ld]
+            total = total + w * jnp.sum(
+                jnp.where(m, di_rows, 0.0), axis=-1)
+
+    if n_real_docs is not None:
+        cand_valid = cand_valid & (cand_ids < n_real_docs)
+    total = jnp.where(cand_valid, total, -jnp.inf)
+    kk = min(k, C)
+    top_scores, idx = jax.lax.top_k(total, kk)
+    top_ids = jnp.take_along_axis(cand_ids, idx, axis=1)
+    top_ids = jnp.where(jnp.isfinite(top_scores), top_ids, -1)
+    return top_scores, top_ids
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "n_candidates", "per_term_cap", "max_dup_shifts"),
+)
+def bm25_pruned_topk_device(
+    rare_terms: jnp.ndarray,  # [Q, M] int32 pass-1 term ids (-1 pad)
+    offsets: jnp.ndarray,  # [V+1] int64/int32 CSR offsets (device-resident)
+    postings_doc: jnp.ndarray,  # [NNZ] int32
+    postings_imp: jnp.ndarray,  # [NNZ] float32
+    fields: Tuple[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray], ...],
+    n_real_docs: int | jnp.ndarray,
+    k: int = 10,
+    n_candidates: int = 512,
+    per_term_cap: int = 1024,
+    max_dup_shifts: int = 16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fully device-side two-pass pruned top-k.
+
+    Unlike :func:`bm25_pruned_topk` (host/native candidate gather), the CSR
+    postings live in HBM and the candidate gather is an XLA gather driven by
+    [Q, M] rare-term ids — the per-query host->device traffic is a few KB,
+    which matters both for the remote-tunnel environment and for production
+    serving. Each rare term contributes up to ``per_term_cap`` postings.
+    """
+    Q, M = rare_terms.shape
+    cap = per_term_cap
+    safe_terms = jnp.maximum(rare_terms, 0)
+    off = offsets[safe_terms].astype(jnp.int32)  # [Q, M]
+    df = (offsets[safe_terms + 1] - offsets[safe_terms]).astype(jnp.int32)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (Q, M, cap), 2)
+    valid = (pos < jnp.minimum(df, cap)[:, :, None]) & (
+        rare_terms >= 0)[:, :, None]
+    idx = jnp.where(valid, off[:, :, None] + pos, 0)
+    flat_idx = idx.reshape(Q, M * cap)
+    cand_doc = jnp.where(
+        valid.reshape(Q, M * cap), postings_doc[flat_idx], -1)
+    cand_imp = jnp.where(
+        valid.reshape(Q, M * cap), postings_imp[flat_idx], 0.0)
+    return bm25_pruned_topk(
+        cand_doc, cand_imp, fields, n_real_docs=n_real_docs, k=k,
+        n_candidates=n_candidates, max_dup_shifts=max_dup_shifts)

@@ -99,7 +99,16 @@ class RetrievalEngine:
         use_pallas: bool = True,
         block_d: int = 512,
         doc_chunk: Optional[int] = None,
+        mode: str = "exhaustive",  # or "pruned" (two-pass MaxScore-style)
+        rare_terms: int = 12,
+        posting_budget: int = 4096,
+        df_cap: Optional[int] = None,
+        n_candidates: int = 512,
     ):
+        if mode == "pruned" and mesh is not None:
+            raise ValueError(
+                "pruned mode is single-device per engine; shard by running "
+                "one engine per index shard and merging (mix_search style)")
         self.text_index = text_index
         self.title_index = title_index
         self.store = store
@@ -107,9 +116,18 @@ class RetrievalEngine:
         self.use_pallas = use_pallas
         self.block_d = block_d
         self.doc_chunk = doc_chunk
+        self.mode = mode
+        self.rare_terms = rare_terms
+        self.posting_budget = posting_budget
+        # default df cap: skip terms matching >5% of the collection in
+        # pass 1 (they are exactly rescored in pass 2)
+        self.df_cap = df_cap if df_cap is not None else max(
+            256, text_index.n_docs // 20)
+        self.n_candidates = n_candidates
         self.n_shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
 
         self._device_fields: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
+        self._device_rows: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
         self._shard_size = 0
         self._upload()
 
@@ -136,6 +154,19 @@ class RetrievalEngine:
                         constant_values=-1)
             di = np.pad(idx.doc_impacts,
                         ((0, n_padded - idx.doc_impacts.shape[0]), (0, 0)))
+            if self.mode == "pruned":
+                # doc-major rows for pass-2 rescoring gathers
+                self._device_rows[name] = (jnp.asarray(dt), jnp.asarray(di))
+                if name == "text":
+                    # CSR postings resident in HBM: per-query traffic is
+                    # just the [Q, M] rare-term ids
+                    offsets, p_doc, p_imp, _ = self.text_index.csr
+                    self._device_csr = (
+                        jnp.asarray(offsets.astype(np.int32)),
+                        jnp.asarray(p_doc),
+                        jnp.asarray(p_imp),
+                    )
+                continue
             dtt = np.ascontiguousarray(dt.T)  # [Ld, N]
             dit = np.ascontiguousarray(di.T)
             if self.mesh is not None:
@@ -194,6 +225,49 @@ class RetrievalEngine:
 
         return run
 
+    def _select_rare_terms(self, q_terms: np.ndarray) -> np.ndarray:
+        """Per query: the ``rare_terms`` lowest-df in-vocab terms with
+        df <= df_cap (MaxScore-style pass-1 term selection)."""
+        df = self.text_index.csr[3]
+        Q, Lq = q_terms.shape
+        M = self.rare_terms
+        term_df = np.where(
+            q_terms >= 0, df[np.maximum(q_terms, 0)], np.iinfo(np.int64).max)
+        term_df = np.where(term_df <= self.df_cap, term_df,
+                           np.iinfo(np.int64).max)
+        order = np.argsort(term_df, axis=1, kind="stable")[:, :M]
+        rare = np.take_along_axis(q_terms, order, axis=1).astype(np.int32)
+        picked_df = np.take_along_axis(term_df, order, axis=1)
+        rare[picked_df == np.iinfo(np.int64).max] = -1
+        return rare
+
+    def _search_pruned(
+        self, q_terms, q_weights, k, title_terms, title_weights,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        from ..ops.bm25 import bm25_pruned_topk_device
+
+        rare = self._select_rare_terms(q_terms)
+        fields = [(
+            jnp.asarray(q_terms), jnp.asarray(q_weights),
+            *self._device_rows["text"],
+        )]
+        if title_terms is not None:
+            if "title" not in self._device_rows:
+                raise ValueError("engine built without a title index")
+            fields.append((
+                jnp.asarray(title_terms), jnp.asarray(title_weights),
+                *self._device_rows["title"],
+            ))
+        offsets, p_doc, p_imp = self._device_csr
+        per_term_cap = max(1, self.posting_budget // self.rare_terms)
+        scores, ids = bm25_pruned_topk_device(
+            jnp.asarray(rare), offsets, p_doc, p_imp, tuple(fields),
+            n_real_docs=self.text_index.n_docs, k=k,
+            n_candidates=self.n_candidates,
+            per_term_cap=per_term_cap,
+            max_dup_shifts=self.rare_terms)
+        return np.asarray(scores), np.asarray(ids)
+
     def search_encoded(
         self,
         q_terms: np.ndarray,
@@ -203,6 +277,9 @@ class RetrievalEngine:
         title_weights: Optional[np.ndarray] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Top-k over pre-encoded queries. Returns (scores, ids) [Q, k]."""
+        if self.mode == "pruned":
+            return self._search_pruned(
+                q_terms, q_weights, k, title_terms, title_weights)
         fields = [(
             jnp.asarray(q_terms), jnp.asarray(q_weights),
             *self._device_fields["text"],

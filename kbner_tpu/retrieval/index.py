@@ -96,6 +96,30 @@ class BM25Index:
         self.avgdl = avgdl
         self.params = params
         self.analyzer = analyzer
+        self._csr = None  # lazy (offsets, postings_doc, postings_imp, df)
+
+    @property
+    def csr(self):
+        """Term-major CSR postings (offsets [V+1], doc ids [NNZ], impacts
+        [NNZ], df [V]) — the candidate-generation side of two-pass pruned
+        search. Built lazily from the padded doc arrays."""
+        if self._csr is None:
+            valid = self.doc_terms >= 0
+            terms = self.doc_terms[valid]
+            docs = np.nonzero(valid)[0].astype(np.int32)
+            imps = self.doc_impacts[valid]
+            order = np.argsort(terms, kind="stable")
+            terms_s = terms[order]
+            df = np.bincount(terms_s, minlength=len(self.vocab))
+            offsets = np.zeros(len(self.vocab) + 1, dtype=np.int64)
+            np.cumsum(df, out=offsets[1:])
+            self._csr = (
+                offsets,
+                docs[order],
+                imps[order].astype(np.float32),
+                df.astype(np.int64),
+            )
+        return self._csr
 
     # -- construction ---------------------------------------------------------
 
