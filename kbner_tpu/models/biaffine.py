@@ -426,3 +426,129 @@ def eisner_decode(scores: np.ndarray) -> np.ndarray:
 
     backtrack(0, n - 1, 1, True)
     return heads
+
+
+@dataclasses.dataclass(frozen=True)
+class SemDepConfig:
+    encoder: XLMRConfig
+    num_rels: int
+    arc_dim: int = 256
+    rel_dim: int = 64
+    arc_threshold: float = 0.5
+
+
+class SemanticDependencyParser(nn.Module):
+    """Graph (DAG) dependency parser: each dependent may take several heads.
+
+    Counterpart of the reference's ``SemanticDependencyParser``
+    (``dependency_model.py:172`` / ``dependency_model_1.py:176``, the DM/PAS/
+    PSD task surface): sigmoid arc scores with masked BCE + relation CE at
+    gold arcs; decode keeps arcs above a threshold, falling back to the
+    argmax head so every token stays attached.
+    """
+
+    config: SemDepConfig
+
+    def setup(self):
+        cfg = self.config
+        self.encoder = XLMREncoder(cfg.encoder, name="encoder")
+        self.root_emb = self.param(
+            "root", nn.initializers.normal(0.02),
+            (cfg.encoder.hidden_size,))
+        self.mlp_arc_h = nn.Dense(cfg.arc_dim, name="mlp_arc_h")
+        self.mlp_arc_d = nn.Dense(cfg.arc_dim, name="mlp_arc_d")
+        self.mlp_rel_h = nn.Dense(cfg.rel_dim, name="mlp_rel_h")
+        self.mlp_rel_d = nn.Dense(cfg.rel_dim, name="mlp_rel_d")
+        self.arc_attn = Biaffine(1, bias_x=True, bias_y=False,
+                                 name="arc_attn")
+        self.rel_attn = Biaffine(cfg.num_rels, bias_x=True, bias_y=True,
+                                 name="rel_attn")
+
+    def scores(self, batch, deterministic: bool = True):
+        hidden, _ = self.encoder(
+            batch["input_ids"], batch["attention_mask"],
+            deterministic=deterministic)
+        feats = jnp.take_along_axis(
+            hidden, batch["word_starts"][:, :, None], axis=1)
+        B = feats.shape[0]
+        root = jnp.broadcast_to(
+            self.root_emb[None, None, :], (B, 1, feats.shape[-1]))
+        x = jnp.concatenate([root, feats.astype(jnp.float32)], axis=1)
+        relu = jax.nn.relu
+        s_arc = self.arc_attn(
+            relu(self.mlp_arc_d(x)), relu(self.mlp_arc_h(x)))[:, 0]
+        s_rel = jnp.moveaxis(self.rel_attn(
+            relu(self.mlp_rel_d(x)), relu(self.mlp_rel_h(x))), 1, -1)
+        return s_arc, s_rel  # [B, W+1, W+1], [B, W+1, W+1, R]
+
+    def _grid_mask(self, word_mask):
+        B, W = word_mask.shape
+        head_valid = jnp.concatenate(
+            [jnp.ones((B, 1), word_mask.dtype), word_mask], axis=1)
+        return (word_mask[:, :, None] > 0) & (head_valid[:, None, :] > 0)
+
+    def loss(self, batch, deterministic: bool = False):
+        """batch needs ``arc_matrix`` [B, W, W+1] (0/1) and ``rel_matrix``
+        [B, W, W+1] int (rel at gold arcs)."""
+        s_arc, s_rel = self.scores(batch, deterministic)
+        arc_logits = s_arc[:, 1:, :]  # dependents x heads
+        grid = self._grid_mask(batch["word_mask"])
+        targets = batch["arc_matrix"].astype(jnp.float32)
+        log_p = jax.nn.log_sigmoid(arc_logits)
+        log_np = jax.nn.log_sigmoid(-arc_logits)
+        bce = -(targets * log_p + (1 - targets) * log_np)
+        arc_loss = jnp.sum(jnp.where(grid, bce, 0.0)) / jnp.maximum(
+            grid.sum(), 1)
+
+        rel_logits = s_rel[:, 1:]  # [B, W, W+1, R]
+        logp_rel = jax.nn.log_softmax(rel_logits, axis=-1)
+        gold_rel = jnp.take_along_axis(
+            logp_rel, batch["rel_matrix"][..., None], axis=-1)[..., 0]
+        arc_mask = grid & (batch["arc_matrix"] > 0)
+        rel_loss = -jnp.sum(jnp.where(arc_mask, gold_rel, 0.0)) / \
+            jnp.maximum(arc_mask.sum(), 1)
+        return arc_loss + rel_loss
+
+    def decode(self, batch):
+        """(arcs [B, W, W+1] 0/1, rels [B, W, W+1] int)."""
+        cfg = self.config
+        s_arc, s_rel = self.scores(batch, deterministic=True)
+        arc_logits = s_arc[:, 1:, :]
+        grid = self._grid_mask(batch["word_mask"])
+        prob = jax.nn.sigmoid(jnp.where(grid, arc_logits, -1e9))
+        arcs = (prob > cfg.arc_threshold).astype(jnp.int32)
+        # every real token keeps at least its best head
+        best = jnp.argmax(prob, axis=-1)
+        fallback = jax.nn.one_hot(
+            best, arc_logits.shape[-1], dtype=jnp.int32)
+        has_head = arcs.sum(-1, keepdims=True) > 0
+        arcs = jnp.where(has_head, arcs, fallback)
+        arcs = arcs * grid.astype(jnp.int32)
+        rels = jnp.argmax(s_rel[:, 1:], axis=-1).astype(jnp.int32)
+        return arcs, rels
+
+
+def encode_semdep_arrays(eb, layer: str = "deps", rel_dict=None) -> None:
+    """Attach ``arc_matrix``/``rel_matrix`` parsed from enhanced-UD style
+    multi-head columns ``head:rel|head:rel`` (reference enhancedud target,
+    data.py make_tag_dictionary's '|'-split path)."""
+    B, W = eb.word_mask.shape
+    arc = np.zeros((B, W, W + 1), dtype=np.int32)
+    rel = np.zeros((B, W, W + 1), dtype=np.int32)
+    for b, rec in enumerate(eb.records):
+        vals = rec.tags.get(layer, [])
+        for w in range(min(len(vals), W)):
+            for item in vals[w].split("|"):
+                if ":" not in item:
+                    continue
+                h, r = item.split(":", 1)
+                try:
+                    h = int(h)
+                except ValueError:
+                    continue
+                if 0 <= h <= W:
+                    arc[b, w, h] = 1
+                    if rel_dict is not None:
+                        rel[b, w, h] = rel_dict.item2idx.get(r, 0)
+    eb.extra["arc_matrix"] = arc
+    eb.extra["rel_matrix"] = rel

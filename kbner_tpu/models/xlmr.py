@@ -44,6 +44,10 @@ class XLMRConfig:
     hidden_dropout: float = 0.1
     attention_dropout: float = 0.1
     dtype: Any = jnp.bfloat16  # activation dtype
+    # rematerialize each encoder layer in the backward pass (activation
+    # checkpointing): trades recompute FLOPs for HBM, the standard recipe
+    # for fine-tuning xlm-roberta-large on 16 GB chips
+    remat: bool = False
 
     @classmethod
     def base(cls, **kw) -> "XLMRConfig":
@@ -173,9 +177,13 @@ class XLMREncoder(nn.Module):
         attn_bias = jnp.where(mask[:, None, None, :] > 0, 0.0, -1e9).astype(
             cfg.dtype)
 
+        layer_cls = EncoderLayer
+        if cfg.remat:
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(2,))
+
         all_hidden = [hidden] if output_hidden_states else None
         for i in range(cfg.num_layers):
-            hidden = EncoderLayer(cfg, name=f"layer_{i}")(
+            hidden = layer_cls(cfg, name=f"layer_{i}")(
                 hidden, attn_bias, deterministic)
             if output_hidden_states:
                 all_hidden.append(hidden)

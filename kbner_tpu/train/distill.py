@@ -32,6 +32,9 @@ class DistillConfig(TrainConfig):
     interpolation: float = 0.5
     temperature: float = 1.0
     posterior: bool = False  # distill CRF posterior marginals instead of logits
+    # k-best sequence distillation (assign_pretrained_teacher_targets):
+    # 0 = logit/posterior KD; >0 = number of teacher k-best CRF sequences
+    kbest: int = 0
 
 
 class DistillationTrainer(FinetuneTrainer):
@@ -78,6 +81,40 @@ class DistillationTrainer(FinetuneTrainer):
         log.info("cached teacher emissions for %d batches", len(batches))
         return [o for o in out]
 
+    def _teacher_kbest(
+        self, batches: List[EncodedBatch], n_best: int,
+    ) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """Teacher k-best CRF sequences + softmax-normalized path weights per
+        batch (``assign_pretrained_teacher_targets``,
+        distillation_trainer.py:1515+). Single-teacher path."""
+        from ..ops.crf import crf_decode_nbest
+
+        t_model, t_params = self.teachers[0]
+        cfg = t_model.config
+
+        @jax.jit
+        def kbest(params, batch):
+            em = t_model.apply(
+                params, batch["input_ids"], batch["attention_mask"],
+                batch["word_starts"], batch["word_mask"],
+                deterministic=True)
+            trans = t_model.apply(
+                params, method=t_model.transition_matrix)
+            paths, scores = crf_decode_nbest(
+                em, batch["crf_mask"], trans, cfg.start_idx, cfg.stop_idx,
+                n_best=n_best)
+            weights = jax.nn.softmax(scores, axis=-1)
+            return paths, weights
+
+        out = []
+        for eb in batches:
+            arrays = {k: jnp.asarray(v) for k, v in eb.arrays().items()}
+            paths, weights = kbest(t_params, arrays)
+            out.append((np.asarray(paths), np.asarray(weights)))
+        log.info("cached teacher %d-best sequences for %d batches",
+                 n_best, len(batches))
+        return out
+
     # -- training -------------------------------------------------------------
 
     def train(self, base_path, config: DistillConfig) -> Dict[str, Any]:
@@ -96,7 +133,11 @@ class DistillationTrainer(FinetuneTrainer):
             self.corpus.train, self.tokenizer, self.tag_dict,
             config.batch_size, shuffle=False, tag_layer=self.tag_layer,
             max_subtokens=config.max_subtokens)
-        teacher_logits = self._teacher_emissions(batches)
+        use_kbest = config.kbest and config.kbest > 0
+        if use_kbest:
+            teacher_targets = self._teacher_kbest(batches, config.kbest)
+        else:
+            teacher_targets = self._teacher_emissions(batches)
 
         total_steps = max(1, len(batches)) * config.max_epochs
         warmup = int(total_steps * config.warmup_fraction)
@@ -112,10 +153,17 @@ class DistillationTrainer(FinetuneTrainer):
         interp, temp, post = (config.interpolation, config.temperature,
                               config.posterior)
 
-        def train_step(params, opt_state, batch, t_logits, rng):
+        def train_step(params, opt_state, batch, targets, rng):
             def loss_fn(p):
+                if use_kbest:
+                    paths, weights = targets
+                    return model.apply(
+                        p, batch, paths, weights, deterministic=False,
+                        interpolation=interp,
+                        method=model.kbest_distill_loss,
+                        rngs={"dropout": rng})
                 return model.apply(
-                    p, batch, t_logits, deterministic=False,
+                    p, batch, targets, deterministic=False,
                     interpolation=interp, temperature=temp, posterior=post,
                     method=model.distill_loss, rngs={"dropout": rng})
 
@@ -138,10 +186,14 @@ class DistillationTrainer(FinetuneTrainer):
             for b_idx in order:
                 eb = batches[b_idx]
                 arrays = self._to_device(eb)
-                t_log = jnp.asarray(teacher_logits[b_idx])
+                if use_kbest:
+                    paths, weights = teacher_targets[b_idx]
+                    targets = (jnp.asarray(paths), jnp.asarray(weights))
+                else:
+                    targets = jnp.asarray(teacher_targets[b_idx])
                 rng, step_rng = jax.random.split(rng)
                 self.params, opt_state, loss = step(
-                    self.params, opt_state, arrays, t_log, step_rng)
+                    self.params, opt_state, arrays, targets, step_rng)
                 losses.append(float(loss))
             train_loss = float(np.mean(losses)) if losses else 0.0
             history["train_loss"].append(train_loss)
