@@ -111,6 +111,12 @@ def cmd_parse(args):
     final = target_dir / "final-model.msgpack"
     trainer.load(best if best.exists() else final)
 
+    if args.save_embedding:
+        # export the tuned encoder for reuse (train.py --save_embedding)
+        trainer.save_encoder(target_dir / "finetuned-encoder.msgpack")
+        logging.info("saved tuned encoder to %s",
+                     target_dir / "finetuned-encoder.msgpack")
+
     column_format = config.corpora[0].column_format
     comment = config.corpora[0].comment_symbol
     data_dir = Path(args.target_dir)
@@ -164,6 +170,28 @@ def cmd_retrieve(args):
             drop_over_budget_train=(split == "train"))
         write_column_file(out_dir / f"{split}.txt", fused, layers=("ner",))
         logging.info("%s: %d sentences fused", split, len(fused))
+
+
+def cmd_multistage(args):
+    """Multi-stage fine-tuning over a sequence of configs: stage n+1's
+    encoder initializes from stage n's export (README.md:330-359 workflow)."""
+    from .config import ExperimentConfig
+    from .retrieval.iterative import run_multistage
+
+    _setup_logging(None)
+
+    def build(stage_cfg_path, encoder_init):
+        config = ExperimentConfig.from_file(stage_cfg_path)
+        target_dir = config.resolve_target_dir()
+        corpus, tokenizer, tag_dict, model, trainer = _build(config)
+        if encoder_init is not None:
+            trainer.load_encoder(encoder_init)
+            logging.info("stage init from %s", encoder_init)
+        return trainer, config.make_train_config(), target_dir
+
+    results = run_multistage(list(args.configs), build)
+    for i, r in enumerate(results):
+        logging.info("stage %d best dev: %s", i + 1, r["best_dev_score"])
 
 
 def cmd_ensemble(args):
@@ -226,7 +254,14 @@ def main(argv=None):
     sp.add_argument("--target_dir", required=True)
     sp.add_argument("--out_dir")
     sp.add_argument("--keep_order", action="store_true")
+    sp.add_argument("--save_embedding", action="store_true")
     sp.set_defaults(fn=cmd_parse)
+
+    sp = sub.add_parser("multistage")
+    sp.add_argument("configs", nargs="+",
+                    help="stage configs in order; each stage's tuned "
+                         "encoder initializes the next")
+    sp.set_defaults(fn=cmd_multistage)
 
     sp = sub.add_parser("retrieve")
     sp.add_argument("--kb", required=True, help="parsed-wiki JSONL")

@@ -330,3 +330,66 @@ def bm25_pruned_topk_device(
     return bm25_pruned_topk(
         cand_doc, cand_imp, fields, n_real_docs=n_real_docs, k=k,
         n_candidates=n_candidates, max_dup_shifts=max_dup_shifts)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "n_candidates", "per_term_cap"),
+)
+def bm25_pruned_topk_nosort(
+    rare_terms: jnp.ndarray,  # [Q, M]
+    offsets: jnp.ndarray,
+    postings_doc: jnp.ndarray,
+    postings_imp: jnp.ndarray,
+    fields: Tuple[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray], ...],
+    n_real_docs: int | jnp.ndarray,
+    k: int = 10,
+    n_candidates: int = 1024,
+    per_term_cap: int = 341,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sort-free pruned top-k: the [Q, P] candidate sort of
+    :func:`bm25_pruned_topk_device` dominates its runtime, so this variant
+    selects candidates directly by single-posting impact (top-C over the
+    gathered postings), rescores them exactly, and returns k*? entries with
+    possible duplicates — the caller deduplicates while materializing
+    results (trivial at k=10). Returns (scores, ids) [Q, k_eff] where
+    k_eff = k * 4, duplicates marked by repeated ids.
+    """
+    Q, M = rare_terms.shape
+    cap = per_term_cap
+    safe_terms = jnp.maximum(rare_terms, 0)
+    off = offsets[safe_terms].astype(jnp.int32)
+    df = (offsets[safe_terms + 1] - offsets[safe_terms]).astype(jnp.int32)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (Q, M, cap), 2)
+    valid = (pos < jnp.minimum(df, cap)[:, :, None]) & (
+        rare_terms >= 0)[:, :, None]
+    idx = jnp.where(valid, off[:, :, None] + pos, 0)
+    flat_idx = idx.reshape(Q, M * cap)
+    vmask = valid.reshape(Q, M * cap)
+    cand_doc = jnp.where(vmask, postings_doc[flat_idx], -1)
+    cand_imp = jnp.where(vmask, postings_imp[flat_idx], -jnp.inf)
+
+    C = min(n_candidates, M * cap)
+    _, top_pos = jax.lax.top_k(cand_imp, C)
+    cand_ids = jnp.take_along_axis(cand_doc, top_pos, axis=1)  # [Q, C]
+    cand_ok = cand_ids >= 0
+    safe_ids = jnp.where(cand_ok, cand_ids, 0)
+
+    total = jnp.zeros((Q, C), jnp.float32)
+    for (qt, qw, dterms, dimps) in fields:
+        dt_rows = dterms[safe_ids]
+        di_rows = dimps[safe_ids]
+        for l in range(qt.shape[1]):
+            t = qt[:, l][:, None, None]
+            w = qw[:, l][:, None]
+            m = dt_rows == t
+            total = total + w * jnp.sum(
+                jnp.where(m, di_rows, 0.0), axis=-1)
+
+    cand_ok = cand_ok & (cand_ids < n_real_docs)
+    total = jnp.where(cand_ok, total, -jnp.inf)
+    k_eff = min(k * 4, C)
+    top_scores, idx2 = jax.lax.top_k(total, k_eff)
+    top_ids = jnp.take_along_axis(cand_ids, idx2, axis=1)
+    top_ids = jnp.where(jnp.isfinite(top_scores), top_ids, -1)
+    return top_scores, top_ids

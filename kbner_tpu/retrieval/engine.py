@@ -339,6 +339,30 @@ class RetrievalEngine:
         return results
 
 
+def langwiki_search(
+    engines: Dict[str, RetrievalEngine],
+    queries: Sequence[str],
+    langs: Sequence[str],
+    k: int = 10,
+) -> List[List[RetrievedDoc]]:
+    """Language-routed querying: each query goes to its own language's
+    index (the reference's ``langwiki`` setting for multilingual training —
+    monolingual indices, per-sentence language routing). Queries whose
+    language has no engine get empty results."""
+    by_lang: Dict[str, List[int]] = {}
+    for i, lang in enumerate(langs):
+        by_lang.setdefault(lang, []).append(i)
+    out: List[List[RetrievedDoc]] = [[] for _ in queries]
+    for lang, idxs in by_lang.items():
+        eng = engines.get(lang)
+        if eng is None:
+            continue
+        results = eng.search([queries[i] for i in idxs], k=k)
+        for i, res in zip(idxs, results):
+            out[i] = res
+    return out
+
+
 def mix_search(
     engines: Dict[str, RetrievalEngine],
     queries: Sequence[str],
