@@ -172,6 +172,23 @@ def cmd_retrieve(args):
         logging.info("%s: %d sentences fused", split, len(fused))
 
 
+def cmd_speed(args):
+    """Decode-throughput measurement (train.py --test_speed)."""
+    from .config import ExperimentConfig
+
+    config = ExperimentConfig.from_file(args.config)
+    target_dir = config.resolve_target_dir()
+    _setup_logging(None)
+    corpus, tokenizer, tag_dict, model, trainer = _build(config)
+    best = target_dir / "best-model.msgpack"
+    if best.exists():
+        trainer.load(best)
+    records = corpus.test_list[0] or corpus.train
+    sps = trainer.evaluate_speed(records, batch_size=args.batch_size)
+    print(json.dumps({"sentences_per_second": sps,
+                      "n_sentences": len(records)}))
+
+
 def cmd_multistage(args):
     """Multi-stage fine-tuning over a sequence of configs: stage n+1's
     encoder initializes from stage n's export (README.md:330-359 workflow)."""
@@ -256,6 +273,11 @@ def main(argv=None):
     sp.add_argument("--keep_order", action="store_true")
     sp.add_argument("--save_embedding", action="store_true")
     sp.set_defaults(fn=cmd_parse)
+
+    sp = sub.add_parser("speed")
+    sp.add_argument("--config", required=True)
+    sp.add_argument("--batch_size", type=int, default=32)
+    sp.set_defaults(fn=cmd_speed)
 
     sp = sub.add_parser("multistage")
     sp.add_argument("configs", nargs="+",

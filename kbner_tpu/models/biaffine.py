@@ -86,7 +86,7 @@ class BiaffineParser(nn.Module):
             batch["input_ids"], batch["attention_mask"],
             deterministic=deterministic)
         feats = jnp.take_along_axis(
-            hidden, batch["word_starts"][:, :, None], axis=1)
+            hidden, batch["word_starts"][:, :, None], axis=1, mode="clip")
         B = feats.shape[0]
         root = jnp.broadcast_to(
             self.root_emb[None, None, :], (B, 1, feats.shape[-1]))
@@ -260,8 +260,8 @@ class BiaffineNER(nn.Module):
             batch["input_ids"], batch["attention_mask"],
             deterministic=deterministic)
         feats = jnp.take_along_axis(
-            hidden, batch["word_starts"][:, :, None], axis=1).astype(
-            jnp.float32)
+            hidden, batch["word_starts"][:, :, None], axis=1,
+            mode="clip").astype(jnp.float32)
         s = jax.nn.relu(self.mlp_start(feats))
         e = jax.nn.relu(self.mlp_end(feats))
         return jnp.moveaxis(self.attn(s, e), 1, -1)  # [B, W, W, L]
@@ -469,7 +469,7 @@ class SemanticDependencyParser(nn.Module):
             batch["input_ids"], batch["attention_mask"],
             deterministic=deterministic)
         feats = jnp.take_along_axis(
-            hidden, batch["word_starts"][:, :, None], axis=1)
+            hidden, batch["word_starts"][:, :, None], axis=1, mode="clip")
         B = feats.shape[0]
         root = jnp.broadcast_to(
             self.root_emb[None, None, :], (B, 1, feats.shape[-1]))

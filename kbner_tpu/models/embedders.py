@@ -101,7 +101,7 @@ class CharBiLSTMEmbedder(nn.Module):
         lengths = jnp.maximum(mask.sum(-1), 1)
         last = jnp.take_along_axis(
             h_f, (lengths - 1)[:, None, None].astype(jnp.int32).repeat(
-                self.hidden, -1), axis=1)[:, 0]
+                self.hidden, -1), axis=1, mode="clip")[:, 0]
         first = h_b[:, 0]
         out = jnp.concatenate([last, first], axis=-1)
         return out.reshape(B, W, 2 * self.hidden)
@@ -178,9 +178,11 @@ class FlairLMEmbedder(nn.Module):
         h_b = self.bwd(jnp.flip(stream, axis=1))
         h_b = jnp.flip(h_b, axis=1)
         f = jnp.take_along_axis(
-            h_f, ends[:, :, None].repeat(self.hidden, -1), axis=1)
+            h_f, ends[:, :, None].repeat(self.hidden, -1), axis=1,
+            mode="clip")
         b = jnp.take_along_axis(
-            h_b, starts[:, :, None].repeat(self.hidden, -1), axis=1)
+            h_b, starts[:, :, None].repeat(self.hidden, -1), axis=1,
+            mode="clip")
         return jnp.concatenate([f, b], axis=-1)
 
 
@@ -238,7 +240,7 @@ class TransformerWordEmbedder(nn.Module):
         hidden, _ = XLMREncoder(self.config, name="encoder")(
             batch["input_ids"], batch["attention_mask"], deterministic=True)
         feats = jnp.take_along_axis(
-            hidden, batch["word_starts"][:, :, None], axis=1)
+            hidden, batch["word_starts"][:, :, None], axis=1, mode="clip")
         if not self.fine_tune:
             feats = jax.lax.stop_gradient(feats)
         return feats

@@ -94,7 +94,8 @@ class SequenceTagger(nn.Module):
             deterministic=deterministic)
         # first-subtoken gather: word w of sentence b -> hidden[b, starts[b,w]]
         feats = jnp.take_along_axis(
-            hidden, batch["word_starts"][:, :, None], axis=1)  # [B, W, H]
+            hidden, batch["word_starts"][:, :, None], axis=1,
+            mode="clip")  # [B, W, H]
         return feats
 
     def _word_features(

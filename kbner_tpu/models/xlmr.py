@@ -179,7 +179,9 @@ class XLMREncoder(nn.Module):
 
         layer_cls = EncoderLayer
         if cfg.remat:
-            layer_cls = nn.remat(EncoderLayer, static_argnums=(2,))
+            # static_argnums indexes the bound method's args with self at 0:
+            # (self, hidden, attn_bias, deterministic) -> deterministic is 3
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(3,))
 
         all_hidden = [hidden] if output_hidden_states else None
         for i in range(cfg.num_layers):

@@ -199,3 +199,22 @@ def test_engine_title_boost(index):
     assert any("Bic Runga" in t for t in boosted_titles)
     # and boosted scores exceed plain for those docs
     assert boosted[0][0].score >= plain[0][0].score
+
+
+def test_standard_analyze_edge_cases():
+    # Lucene standard-analyzer behaviors our recall parity depends on
+    assert standard_analyze("U.S.A. is BIG") == ["u", "s", "a", "is", "big"]
+    assert standard_analyze("3.14 and 1,000") == ["3", "14", "and", "1", "000"]
+    assert standard_analyze("über café naïve") == ["über", "café", "naïve"]
+    assert standard_analyze("don't stop") == ["don", "t", "stop"]
+    assert standard_analyze("e-mail@example.com") == [
+        "e", "mail", "example", "com"]
+    assert standard_analyze("Ελληνικά русский") == ["ελληνικά", "русский"]
+    assert standard_analyze("") == []
+    assert standard_analyze("   \t\n  ") == []
+
+
+def test_analyzer_hangul_and_kana():
+    # Hangul syllables and kana are in the CJK single-char ranges
+    toks = standard_analyze("한국어 テスト")
+    assert "한" in toks and "국" in toks and "テ" in toks
