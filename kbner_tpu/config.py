@@ -38,7 +38,6 @@ from typing import Any, Dict, List, Optional
 import yaml
 
 from .data.conll import Corpus, ListCorpus, load_column_corpus
-from .data.dictionary import Dictionary
 from .data.subword import HashTokenizer, HFTokenizer
 from .models.xlmr import XLMRConfig
 from .train.trainer import TrainConfig

@@ -17,7 +17,7 @@ padded arrays with first-subtoken alignment (the reference's default pooling,
 from __future__ import annotations
 
 import hashlib
-from typing import List, Optional, Protocol, Sequence
+from typing import List, Protocol, Sequence
 
 
 class SubwordTokenizer(Protocol):

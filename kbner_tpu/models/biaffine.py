@@ -21,7 +21,7 @@ span selection run on host.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import flax.linen as nn
 import jax

@@ -11,7 +11,7 @@ MSE for regression.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence
+from typing import Dict
 
 import flax.linen as nn
 import jax

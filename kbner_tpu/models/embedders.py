@@ -25,7 +25,7 @@ carries whatever inputs each family needs (``word_ids``, ``char_ids``,
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -17,9 +17,6 @@ against gold tags (the reference's second-order path replaces the CRF).
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Dict, Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

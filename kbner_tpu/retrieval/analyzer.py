@@ -24,7 +24,6 @@ ES ``standard`` applies no stopword removal by default, so neither do we.
 from __future__ import annotations
 
 import re
-import unicodedata
 from typing import List
 
 # CJK unified ideographs + extensions + Hiragana/Katakana + Hangul syllables

@@ -22,7 +22,6 @@ Multilinguality follows the reference: one engine per language index, and a
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -30,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.bm25 import bm25_topk, merge_topk
+from ..ops.bm25 import bm25_topk
 from ..parallel.mesh import DATA_AXIS
 from .index import BM25Index
 

@@ -24,7 +24,7 @@ get no context.
 
 from __future__ import annotations
 
-from typing import List, Literal, Optional, Sequence
+from typing import List, Literal, Sequence
 
 from ..data.conll import EOS_MARKER, SentenceRecord
 from ..data.subword import SubwordTokenizer, subtoken_length

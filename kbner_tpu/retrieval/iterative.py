@@ -18,7 +18,7 @@ from typing import List, Optional, Sequence
 
 from ..data.conll import SentenceRecord
 from ..data.subword import SubwordTokenizer
-from .engine import RetrievalEngine, RetrievedDoc
+from .engine import RetrievalEngine
 from .fusion import ContextMode, extract_entities, fuse_contexts
 from .pipeline import retrieve_for_records
 

@@ -39,7 +39,7 @@ from ..data.dictionary import Dictionary
 from ..data.encode import EncodedBatch, encode_batch, make_batches
 from ..data.subword import SubwordTokenizer
 from ..eval.metrics import Metric, evaluate_spans
-from ..models.tagger import SequenceTagger, TaggerConfig
+from ..models.tagger import SequenceTagger
 from ..parallel.mesh import pad_batch_for_mesh, shard_batch
 from .optim import make_finetune_optimizer
 
