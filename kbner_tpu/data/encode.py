@@ -158,6 +158,7 @@ def make_batches(
     shuffle: bool = False,
     seed: int = 0,
     sort_by_length: bool = True,
+    token_budget: int = 0,
     **encode_kwargs,
 ) -> List[EncodedBatch]:
     """Length-sorted fixed-size batching.
@@ -170,9 +171,28 @@ def make_batches(
     from .subword import subtoken_length
 
     order = list(range(len(records)))
+    lengths = None
+    if sort_by_length or token_budget:
+        lengths = [subtoken_length(tokenizer, r.tokens) for r in records]
     if sort_by_length:
-        order.sort(key=lambda i: subtoken_length(tokenizer, records[i].tokens))
-    chunks = [order[i:i + batch_size] for i in range(0, len(order), batch_size)]
+        order.sort(key=lambda i: lengths[i])
+    if token_budget:
+        # budget batching: group sentences until the summed subtoken count
+        # would exceed the budget (ColumnDataLoader's token-budget mode,
+        # custom_data_loader.py:118-149)
+        chunks, cur, cur_tokens = [], [], 0
+        for i in order:
+            n = lengths[i] + 2
+            if cur and cur_tokens + n > token_budget:
+                chunks.append(cur)
+                cur, cur_tokens = [], 0
+            cur.append(i)
+            cur_tokens += n
+        if cur:
+            chunks.append(cur)
+    else:
+        chunks = [order[i:i + batch_size]
+                  for i in range(0, len(order), batch_size)]
     if shuffle:
         rng = np.random.RandomState(seed)
         rng.shuffle(chunks)

@@ -107,3 +107,31 @@ class LanguageModelTrainer:
     def load(self, path: str | Path) -> None:
         self.params = serialization.from_bytes(
             self.params, Path(path).read_bytes())
+
+
+def generate_text(
+    model: CharLMHead,
+    params,
+    vocab: Dictionary,
+    prefix: str = "\n",
+    length: int = 100,
+    temperature: float = 1.0,
+    seed: int = 0,
+) -> str:
+    """Sample text from the char LM (reference ``LanguageModel.generate_text``).
+
+    Host loop over single-step forwards — generation is a debugging /
+    inspection tool, not a serving path, so simplicity beats speed here.
+    """
+    import jax
+
+    ids = [vocab.item2idx.get(c, 0) for c in prefix] or [0]
+    rng = jax.random.PRNGKey(seed)
+    logits_fn = jax.jit(lambda p, s: model.apply(p, s)[0, -1])
+    for _ in range(length):
+        stream = jnp.asarray([ids], dtype=jnp.int32)
+        logits = logits_fn(params, stream) / max(temperature, 1e-6)
+        rng, key = jax.random.split(rng)
+        nxt = int(jax.random.categorical(key, logits))
+        ids.append(nxt)
+    return "".join(vocab.get_item_for_index(i) for i in ids)

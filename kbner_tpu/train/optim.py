@@ -91,3 +91,59 @@ def make_finetune_optimizer(
     if accumulation_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulation_steps)
     return tx
+
+
+def sgdw(
+    learning_rate, momentum: float = 0.9, weight_decay: float = 0.0
+) -> optax.GradientTransformation:
+    """SGD with decoupled weight decay (reference ``flair/optim.py`` SGDW)."""
+    parts = [optax.trace(decay=momentum, nesterov=False)]
+    if weight_decay > 0:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    parts.append(optax.scale_by_learning_rate(learning_rate))
+    return optax.chain(*parts)
+
+
+def exp_anneal_schedule(base_lr: float, gamma: float) -> optax.Schedule:
+    """Exponential LR anneal (reference ExpAnnealLR): lr * gamma^step."""
+    return optax.exponential_decay(
+        init_value=base_lr, transition_steps=1, decay_rate=gamma)
+
+
+class ReduceLROnPlateau:
+    """Host-side plateau LR controller (reference ReduceLRWDOnPlateau and
+    the vanilla trainer's anneal-against-dev-score loop,
+    ``trainer.py:37-594``): callers scale the LR between epochs via the
+    returned factor and stop when it floors."""
+
+    def __init__(self, factor: float = 0.5, patience: int = 3,
+                 min_lr_factor: float = 1e-3, mode: str = "max"):
+        self.factor = factor
+        self.patience = patience
+        self.min_lr_factor = min_lr_factor
+        self.mode = mode
+        self.best: Optional[float] = None
+        self.bad_epochs = 0
+        self.scale = 1.0
+
+    def step(self, metric: float) -> float:
+        """Update with this epoch's metric; returns the current LR scale."""
+        improved = (
+            self.best is None
+            or (metric > self.best if self.mode == "max"
+                else metric < self.best)
+        )
+        if improved:
+            self.best = metric
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.scale = max(self.scale * self.factor,
+                                 self.min_lr_factor)
+                self.bad_epochs = 0
+        return self.scale
+
+    @property
+    def floored(self) -> bool:
+        return self.scale <= self.min_lr_factor

@@ -1,0 +1,102 @@
+"""Small parity surfaces: HTML viz, reranking, splitter, optim extras,
+LM generation, token-budget batching."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from kbner_tpu.data import HashTokenizer, make_batches
+from kbner_tpu.data.conll import SentenceRecord
+from kbner_tpu.data.encode import build_char_vocab
+from kbner_tpu.models.embedders import CharLMHead
+from kbner_tpu.retrieval.engine import RetrievedDoc
+from kbner_tpu.retrieval.rerank import (
+    edit_distance,
+    normalized_edit_similarity,
+    rerank_by_edit_distance,
+    split_corpus,
+)
+from kbner_tpu.train.lm_trainer import generate_text
+from kbner_tpu.train.optim import (
+    ReduceLROnPlateau,
+    exp_anneal_schedule,
+    sgdw,
+)
+from kbner_tpu.utils.html_viz import render_ner_html
+
+TOK = HashTokenizer(vocab_size=997)
+
+
+def test_render_ner_html():
+    recs = [SentenceRecord(
+        tokens=["Alice", "visited", "Berlin", "<EOS>", "ctx"],
+        tags={"ner": ["S-PER", "O", "S-LOC", "S-X", "S-X"]})]
+    page = render_ner_html(recs)
+    assert "Alice" in page and "PER" in page and "LOC" in page
+    assert "background:" in page
+    # X spans filtered
+    assert ">X<" not in page
+
+
+def test_edit_distance_and_rerank():
+    assert edit_distance("kitten", "sitting") == 3
+    assert normalized_edit_similarity("abc", "abc") == 1.0
+    docs = [
+        RetrievedDoc(doc_id=0, score=3.0, sentence="totally different text"),
+        RetrievedDoc(doc_id=1, score=2.0, sentence="alice visited berlin"),
+    ]
+    ranked = rerank_by_edit_distance("alice visited berlin", docs)
+    assert ranked[0].doc_id == 1
+
+
+def test_split_corpus():
+    recs = list(range(10))
+    parts = split_corpus(recs, 3)
+    assert [len(p) for p in parts] == [4, 3, 3]
+    assert sorted(x for p in parts for x in p) == recs
+
+
+def test_sgdw_and_schedules():
+    import optax
+
+    tx = sgdw(1e-2, momentum=0.9, weight_decay=0.01)
+    params = {"w": jnp.ones(3)}
+    state = tx.init(params)
+    grads = {"w": jnp.ones(3)}
+    updates, state = tx.update(grads, state, params)
+    assert np.all(np.asarray(updates["w"]) < 0)
+
+    sched = exp_anneal_schedule(1.0, 0.5)
+    assert float(sched(0)) == pytest.approx(1.0)
+    assert float(sched(2)) == pytest.approx(0.25)
+
+
+def test_reduce_lr_on_plateau():
+    ctl = ReduceLROnPlateau(factor=0.5, patience=1)
+    assert ctl.step(0.5) == 1.0  # first metric = best
+    assert ctl.step(0.6) == 1.0  # improved
+    assert ctl.step(0.55) == 1.0  # 1 bad epoch tolerated
+    assert ctl.step(0.55) == 0.5  # patience exceeded -> halve
+    assert ctl.step(0.7) == 0.5  # improvement keeps current scale
+
+
+def test_generate_text():
+    recs = [SentenceRecord(tokens=["hello", "world"], tags={})]
+    cv = build_char_vocab(recs)
+    model = CharLMHead(char_vocab_size=len(cv), embed_dim=8, hidden=12)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    text = generate_text(model, params, cv, prefix="h", length=10)
+    assert len(text) == 11  # prefix + 10 sampled chars
+
+
+def test_token_budget_batching():
+    recs = [SentenceRecord(tokens=["w"] * n, tags={"ner": ["O"] * n})
+            for n in (2, 3, 5, 8, 13)]
+    batches = make_batches(recs, TOK, None, batch_size=999,
+                           token_budget=12, tag_layer="ner")
+    # each batch respects the subtoken budget (hash tok: 1 subtok/word + 2)
+    for eb in batches:
+        total = sum(len(r.tokens) + 2 for r in eb.records)
+        assert total <= 12 or len(eb.records) == 1
+    assert sum(len(b.records) for b in batches) == len(recs)
