@@ -102,9 +102,11 @@ def main():
     # through the remote-compile tunnel.
     @functools.partial(jax.jit, static_argnames=("use_pallas",))
     def run(fields, use_pallas):
+        # block_d=256 measured marginally best on v5e (the kernel is at its
+        # VPU compute roof; block size shifts it only a few percent)
         return bm25_topk(fields, k=K, use_pallas=use_pallas,
                          block_q=Q_BATCH if Q_BATCH <= 128 else 128,
-                         block_d=4096)
+                         block_d=256)
 
     fields = ((qt, qwj, dtt, dit),)
     use_pallas = backend == "tpu"

@@ -54,3 +54,42 @@ def plot_training_curves(base_path: str | Path,
     fig.savefig(out, dpi=100)
     plt.close(fig)
     return out
+
+
+def plot_embedding_tsne(
+    embeddings,
+    labels,
+    out_path: str | Path,
+    perplexity: float = 5.0,
+    seed: int = 0,
+) -> Optional[Path]:
+    """t-SNE scatter of word/span embeddings colored by label (reference
+    ``flair/visual/`` tSNE plots). Requires sklearn + matplotlib."""
+    import numpy as np
+
+    try:
+        from sklearn.manifold import TSNE
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return None
+
+    embeddings = np.asarray(embeddings)
+    perplexity = min(perplexity, max(1.0, (len(embeddings) - 1) / 3))
+    coords = TSNE(n_components=2, perplexity=perplexity,
+                  random_state=seed, init="pca").fit_transform(embeddings)
+    uniq = sorted(set(labels))
+    fig, ax = plt.subplots(figsize=(7, 6))
+    for i, lbl in enumerate(uniq):
+        mask = np.asarray([l == lbl for l in labels])
+        ax.scatter(coords[mask, 0], coords[mask, 1], label=str(lbl), s=18)
+    ax.legend(fontsize=8)
+    ax.set_title("embedding t-SNE")
+    out = Path(out_path)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    fig.tight_layout()
+    fig.savefig(out, dpi=100)
+    plt.close(fig)
+    return out

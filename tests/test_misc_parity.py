@@ -100,3 +100,14 @@ def test_token_budget_batching():
         total = sum(len(r.tokens) + 2 for r in eb.records)
         assert total <= 12 or len(eb.records) == 1
     assert sum(len(b.records) for b in batches) == len(recs)
+
+
+def test_tsne_plot(tmp_path):
+    from kbner_tpu.utils.plotter import plot_embedding_tsne
+
+    rng = np.random.RandomState(0)
+    emb = np.vstack([rng.randn(10, 8) + 4, rng.randn(10, 8) - 4])
+    labels = ["A"] * 10 + ["B"] * 10
+    out = plot_embedding_tsne(emb, labels, tmp_path / "tsne.png")
+    if out is not None:
+        assert out.exists() and out.stat().st_size > 0
