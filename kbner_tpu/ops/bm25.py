@@ -266,7 +266,10 @@ def bm25_pruned_topk(
     cand_valid = jnp.isfinite(part_scores)
     safe_ids = jnp.where(cand_valid, cand_ids, 0)
 
-    # pass 2: exact rescoring over all fields
+    # pass 2: exact rescoring over all fields. (Batch-globally sorting ids
+    # before the row gather was measured 25% faster in isolation but a wash
+    # inside the full pipeline — the gathers overlap other work — so the
+    # simple direct gather stays.)
     total = jnp.zeros((Q, C), jnp.float32)
     for (qt, qw, dterms, dimps) in fields:
         dt_rows = dterms[safe_ids]  # [Q, C, Ld]

@@ -180,6 +180,18 @@ class RetrievalEngine:
     # -- search ---------------------------------------------------------------
 
     def _topk_fn(self, k: int):
+        # cache the jitted closure per k: a fresh function identity per call
+        # would defeat jax.jit's compile cache and recompile every search
+        cached = getattr(self, "_topk_cache", None)
+        if cached is None:
+            cached = self._topk_cache = {}
+        if k in cached:
+            return cached[k]
+        fn = self._build_topk_fn(k)
+        cached[k] = fn
+        return fn
+
+    def _build_topk_fn(self, k: int):
         use_pallas = self.use_pallas and jax.default_backend() == "tpu"
         doc_chunk = self.doc_chunk
         block_d = self.block_d
