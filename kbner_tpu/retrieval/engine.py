@@ -104,10 +104,6 @@ class RetrievalEngine:
         df_cap: Optional[int] = None,
         n_candidates: int = 512,
     ):
-        if mode == "pruned" and mesh is not None:
-            raise ValueError(
-                "pruned mode is single-device per engine; shard by running "
-                "one engine per index shard and merging (mix_search style)")
         self.text_index = text_index
         self.title_index = title_index
         self.store = store
@@ -154,17 +150,33 @@ class RetrievalEngine:
             di = np.pad(idx.doc_impacts,
                         ((0, n_padded - idx.doc_impacts.shape[0]), (0, 0)))
             if self.mode == "pruned":
-                # doc-major rows for pass-2 rescoring gathers
-                self._device_rows[name] = (jnp.asarray(dt), jnp.asarray(di))
-                if name == "text":
-                    # CSR postings resident in HBM: per-query traffic is
-                    # just the [Q, M] rare-term ids
-                    offsets, p_doc, p_imp, _ = self.text_index.csr
-                    self._device_csr = (
-                        jnp.asarray(offsets.astype(np.int32)),
-                        jnp.asarray(p_doc),
-                        jnp.asarray(p_imp),
+                if self.mesh is None:
+                    # doc-major rows for pass-2 rescoring gathers
+                    self._device_rows[name] = (jnp.asarray(dt),
+                                               jnp.asarray(di))
+                    if name == "text":
+                        # CSR postings resident in HBM: per-query traffic
+                        # is just the [Q, M] rare-term ids
+                        offsets, p_doc, p_imp, _ = self.text_index.csr
+                        self._device_csr = (
+                            jnp.asarray(offsets.astype(np.int32)),
+                            jnp.asarray(p_doc),
+                            jnp.asarray(p_imp),
+                        )
+                else:
+                    # sharded pruned: rows stacked [S, shard, Ld] over
+                    # 'data'; each shard gets a local CSR over its slice
+                    S, ss = self.n_shards, self._shard_size
+                    rows_sharding = NamedSharding(
+                        self.mesh, P(DATA_AXIS, None, None))
+                    self._device_rows[name] = (
+                        jax.device_put(
+                            dt.reshape(S, ss, -1), rows_sharding),
+                        jax.device_put(
+                            di.reshape(S, ss, -1), rows_sharding),
                     )
+                    if name == "text":
+                        self._device_csr = self._build_shard_csr(dt, di)
                 continue
             dtt = np.ascontiguousarray(dt.T)  # [Ld, N]
             dit = np.ascontiguousarray(di.T)
@@ -176,6 +188,39 @@ class RetrievalEngine:
                 dtt = jnp.asarray(dtt)
                 dit = jnp.asarray(dit)
             self._device_fields[name] = (dtt, dit)
+
+    def _build_shard_csr(self, dt_padded: np.ndarray, di_padded: np.ndarray):
+        """Per-shard local CSR postings, stacked [S, ...] and sharded over
+        'data'. Padding rows carry term -1 and never enter the postings."""
+        S, ss = self.n_shards, self._shard_size
+        V = len(self.text_index.vocab)
+        offs, pds, pis = [], [], []
+        for s in range(S):
+            sl_t = dt_padded[s * ss:(s + 1) * ss]
+            sl_i = di_padded[s * ss:(s + 1) * ss]
+            valid = sl_t >= 0
+            terms = sl_t[valid]
+            docs = np.nonzero(valid)[0].astype(np.int32)
+            imps = sl_i[valid].astype(np.float32)
+            order = np.argsort(terms, kind="stable")
+            df = np.bincount(terms[order], minlength=V)
+            off = np.zeros(V + 1, dtype=np.int32)
+            np.cumsum(df, out=off[1:])
+            offs.append(off)
+            pds.append(docs[order])
+            pis.append(imps[order])
+        nnz = max((len(p) for p in pds), default=1)
+        p_doc = np.zeros((S, nnz), np.int32)
+        p_imp = np.zeros((S, nnz), np.float32)
+        for s in range(S):
+            p_doc[s, : len(pds[s])] = pds[s]
+            p_imp[s, : len(pis[s])] = pis[s]
+        sh2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        return (
+            jax.device_put(np.stack(offs), sh2),
+            jax.device_put(p_doc, sh2),
+            jax.device_put(p_imp, sh2),
+        )
 
     # -- search ---------------------------------------------------------------
 
@@ -271,12 +316,54 @@ class RetrievalEngine:
             ))
         offsets, p_doc, p_imp = self._device_csr
         per_term_cap = max(1, self.posting_budget // self.rare_terms)
-        scores, ids = bm25_pruned_topk_device(
-            jnp.asarray(rare), offsets, p_doc, p_imp, tuple(fields),
-            n_real_docs=self.text_index.n_docs, k=k,
-            n_candidates=self.n_candidates,
-            per_term_cap=per_term_cap,
-            max_dup_shifts=self.rare_terms)
+
+        if self.mesh is None:
+            scores, ids = bm25_pruned_topk_device(
+                jnp.asarray(rare), offsets, p_doc, p_imp, tuple(fields),
+                n_real_docs=self.text_index.n_docs, k=k,
+                n_candidates=self.n_candidates,
+                per_term_cap=per_term_cap,
+                max_dup_shifts=self.rare_terms)
+            return np.asarray(scores), np.asarray(ids)
+
+        # sharded: each shard prunes+rescores its local slice (local CSR +
+        # local doc rows), shard-local top-k all-gathered and merged
+        mesh = self.mesh
+        shard_size = self._shard_size
+        n_cand = self.n_candidates
+        m_dup = self.rare_terms
+
+        def shard_fn(rare_s, off_s, pd_s, pi_s, fields_s):
+            shard_idx = jax.lax.axis_index(DATA_AXIS)
+            local_fields = tuple(
+                (qt, qw, dtt[0], dit[0]) for (qt, qw, dtt, dit) in fields_s)
+            s_scores, s_ids = bm25_pruned_topk_device(
+                rare_s, off_s[0], pd_s[0], pi_s[0], local_fields,
+                n_real_docs=shard_size, k=k, n_candidates=n_cand,
+                per_term_cap=per_term_cap, max_dup_shifts=m_dup)
+            s_ids = jnp.where(
+                s_ids >= 0, s_ids + shard_idx * shard_size, -1)
+            all_scores = jax.lax.all_gather(s_scores, DATA_AXIS)
+            all_ids = jax.lax.all_gather(s_ids, DATA_AXIS)
+            s = jnp.swapaxes(all_scores, 0, 1).reshape(s_scores.shape[0], -1)
+            i = jnp.swapaxes(all_ids, 0, 1).reshape(s_ids.shape[0], -1)
+            top_scores, idx = jax.lax.top_k(s, k)
+            top_ids = jnp.take_along_axis(i, idx, axis=1)
+            return top_scores, top_ids
+
+        field_spec = (P(), P(), P(DATA_AXIS, None, None),
+                      P(DATA_AXIS, None, None))
+        run = jax.jit(jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS, None), P(DATA_AXIS, None),
+                      P(DATA_AXIS, None),
+                      tuple(field_spec for _ in fields)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        ))
+        scores, ids = run(jnp.asarray(rare), offsets, p_doc, p_imp,
+                          tuple(fields))
         return np.asarray(scores), np.asarray(ids)
 
     def search_encoded(

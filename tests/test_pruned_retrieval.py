@@ -143,3 +143,24 @@ def test_nosort_variant_and_langwiki(corpus_index):
                           use_pallas=False, block_d=64)
     res = langwiki_search({"en": eng}, [docs[0], docs[1]], ["en", "xx"], k=3)
     assert len(res[0]) > 0 and res[1] == []  # unknown language -> empty
+
+
+def test_pruned_sharded_matches_unsharded(corpus_index):
+    from kbner_tpu.parallel import make_mesh
+
+    docs, index = corpus_index
+    rng = np.random.RandomState(2)
+    queries = [docs[i] for i in rng.randint(0, len(docs), 8)]
+    single = RetrievalEngine(index, mode="pruned", rare_terms=8,
+                             posting_budget=2048, n_candidates=64)
+    mesh = make_mesh(data=8, model=1)
+    sharded = RetrievalEngine(index, mode="pruned", rare_terms=8,
+                              posting_budget=2048, n_candidates=64,
+                              mesh=mesh)
+    r1 = single.search(queries, k=5)
+    r8 = sharded.search(queries, k=5)
+    for a, b in zip(r1, r8):
+        assert {d.doc_id for d in a} == {d.doc_id for d in b}
+        np.testing.assert_allclose(
+            sorted(d.score for d in a), sorted(d.score for d in b),
+            rtol=1e-5)
