@@ -148,8 +148,26 @@ def cmd_retrieve(args):
     _setup_logging(None)
     text_index, store, title_index = build_kb_from_jsonl(
         args.kb, lang=args.lang)
-    engine = RetrievalEngine(text_index, store=store, title_index=title_index)
+    engine = RetrievalEngine(
+        text_index, store=store, title_index=title_index,
+        mode=args.engine_mode)
     tokenizer = HashTokenizer(vocab_size=250002)  # budget proxy w/o HF files
+
+    # v4 iterative: a trained model predicts the entity seeds on dev/test
+    # (train keeps gold entities, generate_data.py's --with_entity split
+    # behavior)
+    predictor = None
+    if args.with_entity and args.model_config:
+        from .config import ExperimentConfig
+        from .retrieval.fusion import extract_entities
+        from .data.conll import SentenceRecord
+
+        model_cfg = ExperimentConfig.from_file(args.model_config)
+        _, _, _, _, predictor = _build(model_cfg)
+        mdir = model_cfg.resolve_target_dir()
+        best = mdir / "best-model.msgpack"
+        final = mdir / "final-model.msgpack"
+        predictor.load(best if best.exists() else final)
 
     data_dir = Path(args.data_folder)
     out_dir = Path(args.out)
@@ -160,9 +178,22 @@ def cmd_retrieve(args):
         records = read_column_file(
             f, {0: "text", 1: "ner"}, comment_symbol=args.comment_symbol,
             tag_to_bioes=None)
+        entities = None
+        if args.with_entity and predictor is not None and split != "train":
+            from .retrieval.fusion import extract_entities
+            from .data.conll import SentenceRecord
+
+            preds = predictor.predict(records)
+            entities = [
+                extract_entities(SentenceRecord(
+                    tokens=r.tokens, tags={"ner": p}))
+                for r, p in zip(records, preds)
+            ]
+            logging.info("%s: predicted entity seeds for %d sentences",
+                         split, len(records))
         results = retrieve_for_records(
             engine, records, k=args.k, lang=args.lang,
-            with_entity=args.with_entity)
+            with_entity=args.with_entity, entities=entities)
         write_retrieval_file(
             out_dir / f"{split}.retrieval.tsv", records, results, args.lang)
         fused = fuse_contexts(
@@ -294,6 +325,11 @@ def main(argv=None):
     sp.add_argument("--mode", default="sentence_link",
                     choices=["paragraph", "sentence_link", "sentence"])
     sp.add_argument("--with_entity", action="store_true")
+    sp.add_argument("--model_config",
+                    help="trained model config for predicted entity seeds "
+                         "on dev/test (v4 iterative retrieval)")
+    sp.add_argument("--engine_mode", default="exhaustive",
+                    choices=["exhaustive", "pruned"])
     sp.add_argument("--comment_symbol", default="# id")
     sp.set_defaults(fn=cmd_retrieve)
 
