@@ -19,7 +19,7 @@ pure-function Flax model over arrays:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -41,6 +41,9 @@ class TaggerConfig:
     relearn_embeddings: bool = True  # embedding2nn
     locked_dropout: float = 0.5
     word_dropout: float = 0.05
+    # enhanced per-language CRF: one transition matrix per corpus/language,
+    # selected by batch lang_ids (sequence_tagger_model.py:391-415)
+    num_languages: int = 0  # 0 = shared transitions
 
     @classmethod
     def for_tag_dictionary(cls, encoder: XLMRConfig, tag_dict, **kw):
@@ -69,19 +72,29 @@ class SequenceTagger(nn.Module):
         if cfg.use_crf:
             # transitions[i, j] = score FROM i TO j; constraints into START
             # and out of STOP are applied additively in `transition_matrix`.
+            shape = (cfg.num_tags, cfg.num_tags)
+            if cfg.num_languages > 0:
+                shape = (cfg.num_languages,) + shape
             self.transitions = self.param(
-                "transitions",
-                nn.initializers.normal(stddev=1.0),
-                (cfg.num_tags, cfg.num_tags),
-            )
+                "transitions", nn.initializers.normal(stddev=1.0), shape)
 
-    def transition_matrix(self) -> jnp.ndarray:
+    def transition_matrix(self, lang_ids: Optional[jnp.ndarray] = None
+                          ) -> jnp.ndarray:
+        """Constrained transitions: [K, K], or [B, K, K] when the tagger
+        keeps per-language matrices and batch lang_ids are given."""
         cfg = self.config
         t = self.transitions
         # nothing transitions INTO <START>; nothing transitions OUT of <STOP>
-        t = t.at[:, cfg.start_idx].set(NO_TRANS)
-        t = t.at[cfg.stop_idx, :].set(NO_TRANS)
+        t = t.at[..., :, cfg.start_idx].set(NO_TRANS)
+        t = t.at[..., cfg.stop_idx, :].set(NO_TRANS)
+        if cfg.num_languages > 0:
+            if lang_ids is None:
+                return t[0]
+            return t[jnp.clip(lang_ids, 0, cfg.num_languages - 1)]
         return t
+
+    def _batch_transitions(self, batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        return self.transition_matrix(batch.get("lang_ids"))
 
     def _extract_features(
         self, batch: Dict[str, jnp.ndarray], deterministic: bool,
@@ -150,7 +163,7 @@ class SequenceTagger(nn.Module):
         if cfg.use_crf:
             nll = crf_neg_log_likelihood(
                 emissions, batch["tag_ids"], batch["crf_mask"],
-                self.transition_matrix(), cfg.start_idx, cfg.stop_idx)
+                self._batch_transitions(batch), cfg.start_idx, cfg.stop_idx)
             loss = jnp.mean(nll)
         else:
             logp = jax.nn.log_softmax(emissions, axis=-1)
@@ -172,7 +185,7 @@ class SequenceTagger(nn.Module):
         emissions = self.emissions(batch, deterministic=True)
         if cfg.use_crf:
             return crf_decode(
-                emissions, batch["crf_mask"], self.transition_matrix(),
+                emissions, batch["crf_mask"], self._batch_transitions(batch),
                 cfg.start_idx, cfg.stop_idx, pad_tag=pad_tag)
         tags = jnp.argmax(emissions, axis=-1).astype(jnp.int32)
         score = jnp.max(jax.nn.log_softmax(emissions, -1), axis=-1).sum(-1)
@@ -205,7 +218,7 @@ class SequenceTagger(nn.Module):
         em_ctx = self.emission(feats_ctx.astype(jnp.float32))
         em_orig = self.emission(feats_orig.astype(jnp.float32))
 
-        trans = self.transition_matrix() if cfg.use_crf else None
+        trans = self._batch_transitions(batch) if cfg.use_crf else None
         if cfg.use_crf:
             nll = crf_neg_log_likelihood(
                 em_ctx, batch["tag_ids"], batch["crf_mask"], trans,
@@ -256,7 +269,7 @@ class SequenceTagger(nn.Module):
         loss, emissions = self.loss(
             batch, deterministic=deterministic, return_emissions=True)
         if posterior and cfg.use_crf:
-            trans = self.transition_matrix()
+            trans = self._batch_transitions(batch)
             marg_s = crf_marginals(
                 emissions, batch["crf_mask"], trans, cfg.start_idx,
                 cfg.stop_idx)
@@ -289,7 +302,7 @@ class SequenceTagger(nn.Module):
         cfg = self.config
         loss, emissions = self.loss(
             batch, deterministic=deterministic, return_emissions=True)
-        trans = self.transition_matrix()
+        trans = self._batch_transitions(batch)
         log_z = crf_forward(emissions, batch["crf_mask"], trans,
                             cfg.start_idx, cfg.stop_idx)  # [B]
 
@@ -310,7 +323,7 @@ class SequenceTagger(nn.Module):
         emissions = self.emissions(batch, deterministic=True)
         if cfg.use_crf:
             return crf_marginals(
-                emissions, batch["crf_mask"], self.transition_matrix(),
+                emissions, batch["crf_mask"], self._batch_transitions(batch),
                 cfg.start_idx, cfg.stop_idx)
         return jax.nn.softmax(emissions, axis=-1)
 

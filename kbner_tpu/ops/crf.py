@@ -42,6 +42,16 @@ def _masked_step(alpha, step_val, mask_t):
     return jnp.where(mask_t[:, None], step_val, alpha)
 
 
+def _trans3(transitions: jnp.ndarray, B: int) -> jnp.ndarray:
+    """Normalize transitions to [B, K, K] (per-sentence matrices support the
+    reference's enhanced per-language CRF, sequence_tagger_model.py:391-415,
+    set_enhanced_transitions :1054-1063)."""
+    transitions = transitions.astype(jnp.float32)
+    if transitions.ndim == 2:
+        return jnp.broadcast_to(transitions[None], (B,) + transitions.shape)
+    return transitions
+
+
 def crf_forward(
     emissions: jnp.ndarray,  # [B, T, K] float
     mask: jnp.ndarray,  # [B, T] bool/int
@@ -51,17 +61,17 @@ def crf_forward(
 ) -> jnp.ndarray:
     """Log partition function log Z per sentence. Returns [B]."""
     emissions = emissions.astype(jnp.float32)
-    transitions = transitions.astype(jnp.float32)
     mask = mask.astype(bool)
     B, T, K = emissions.shape
+    trans = _trans3(transitions, B)  # [B, K, K]
 
     # alpha_0: START -> tag + first emission
-    alpha0 = transitions[start_idx][None, :] + emissions[:, 0, :]
+    alpha0 = trans[:, start_idx, :] + emissions[:, 0, :]
 
     def step(alpha, inputs):
         emit_t, mask_t = inputs  # [B, K], [B]
-        # scores[b, i, j] = alpha[b, i] + trans[i, j] + emit[b, j]
-        scores = alpha[:, :, None] + transitions[None, :, :] + emit_t[:, None, :]
+        # scores[b, i, j] = alpha[b, i] + trans[b, i, j] + emit[b, j]
+        scores = alpha[:, :, None] + trans + emit_t[:, None, :]
         new_alpha = jax.nn.logsumexp(scores, axis=1)
         return _masked_step(alpha, new_alpha, mask_t), None
 
@@ -70,7 +80,7 @@ def crf_forward(
         jnp.moveaxis(mask[:, 1:], 1, 0),  # [T-1, B]
     )
     alpha, _ = jax.lax.scan(step, alpha0, xs)
-    return jax.nn.logsumexp(alpha + transitions[:, stop_idx][None, :], axis=1)
+    return jax.nn.logsumexp(alpha + trans[:, :, stop_idx], axis=1)
 
 
 def crf_gold_score(
@@ -87,9 +97,9 @@ def crf_gold_score(
     (``sequence_tagger_model.py:2544-2591``).
     """
     emissions = emissions.astype(jnp.float32)
-    transitions = transitions.astype(jnp.float32)
     mask = mask.astype(bool)
     B, T, K = emissions.shape
+    trans = _trans3(transitions, B)
     batch_ix = jnp.arange(B)
 
     emit_scores = jnp.take_along_axis(emissions, tags[:, :, None], axis=2)[..., 0]
@@ -110,9 +120,9 @@ def crf_gold_score(
     )
     prev_tags = jnp.moveaxis(prev_tags, 0, 1)  # [B, T]: tag before position t
 
-    trans_scores = transitions[prev_tags, tags]  # [B, T]
+    trans_scores = trans[batch_ix[:, None], prev_tags, tags]  # [B, T]
     trans_total = jnp.sum(jnp.where(mask, trans_scores, 0.0), axis=1)
-    stop_score = transitions[last_tag, stop_idx]
+    stop_score = trans[batch_ix, last_tag, stop_idx]
     return emit_total + trans_total + stop_score
 
 
@@ -150,16 +160,16 @@ def crf_decode(
     the reference re-pads decoded sequences (``:1198-1208``).
     """
     emissions = emissions.astype(jnp.float32)
-    transitions = transitions.astype(jnp.float32)
     mask = mask.astype(bool)
     B, T, K = emissions.shape
+    trans = _trans3(transitions, B)
     identity_bp = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :], (B, K))
 
-    alpha0 = transitions[start_idx][None, :] + emissions[:, 0, :]
+    alpha0 = trans[:, start_idx, :] + emissions[:, 0, :]
 
     def step(alpha, inputs):
         emit_t, mask_t = inputs
-        scores = alpha[:, :, None] + transitions[None, :, :]  # [B, K, K]
+        scores = alpha[:, :, None] + trans  # [B, K, K]
         best_prev = jnp.argmax(scores, axis=1).astype(jnp.int32)  # [B, K]
         best_score = jnp.max(scores, axis=1) + emit_t  # [B, K]
         new_alpha = _masked_step(alpha, best_score, mask_t)
@@ -172,7 +182,7 @@ def crf_decode(
     )
     alpha, bps = jax.lax.scan(step, alpha0, xs)  # bps: [T-1, B, K]
 
-    final = alpha + transitions[:, stop_idx][None, :]
+    final = alpha + trans[:, :, stop_idx]
     last_tag = jnp.argmax(final, axis=1).astype(jnp.int32)  # [B]
     best_score = jnp.max(final, axis=1)
 
@@ -207,16 +217,16 @@ def crf_marginals(
     multi-view agreement losses (``sequence_tagger_model.py:1182-1192``).
     """
     emissions = emissions.astype(jnp.float32)
-    transitions = transitions.astype(jnp.float32)
     mask = mask.astype(bool)
     B, T, K = emissions.shape
+    trans = _trans3(transitions, B)
 
     # Forward pass, keeping all alphas.
-    alpha0 = transitions[start_idx][None, :] + emissions[:, 0, :]
+    alpha0 = trans[:, start_idx, :] + emissions[:, 0, :]
 
     def fstep(alpha, inputs):
         emit_t, mask_t = inputs
-        scores = alpha[:, :, None] + transitions[None, :, :] + emit_t[:, None, :]
+        scores = alpha[:, :, None] + trans + emit_t[:, None, :]
         new_alpha = _masked_step(alpha, jax.nn.logsumexp(scores, axis=1), mask_t)
         return new_alpha, new_alpha
 
@@ -228,11 +238,11 @@ def crf_marginals(
     alphas = jnp.concatenate([alpha0[None], alphas_rest], axis=0)  # [T, B, K]
 
     # Backward pass: beta_t[k] = log sum over paths from t (in state k) to STOP.
-    betaT = transitions[:, stop_idx][None, :].repeat(B, axis=0)  # [B, K]
+    betaT = trans[:, :, stop_idx]  # [B, K]
 
     def bstep(beta, inputs):
         emit_next, mask_next = inputs  # emission at t+1, mask at t+1
-        scores = transitions[None, :, :] + (emit_next + beta)[:, None, :]
+        scores = trans + (emit_next + beta)[:, None, :]
         new_beta = _masked_step(beta, jax.nn.logsumexp(scores, axis=2), mask_next)
         # reverse scan at element i consumes beta_{i+1} and produces beta_i;
         # emit the produced value so ys = [beta_0 .. beta_{T-2}].
@@ -249,7 +259,7 @@ def crf_marginals(
     )
     betas = jnp.concatenate([betas_rev, betaT[None]], axis=0)  # [T, B, K]
 
-    log_z = jax.nn.logsumexp(alphaT + transitions[:, stop_idx][None, :], axis=1)
+    log_z = jax.nn.logsumexp(alphaT + trans[:, :, stop_idx], axis=1)
     log_marg = alphas + betas - log_z[None, :, None]  # [T, B, K]
     marg = jnp.exp(jnp.moveaxis(log_marg, 0, 1))  # [B, T, K]
     uniform = jnp.full_like(marg, 1.0 / K)

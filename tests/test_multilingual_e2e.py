@@ -99,3 +99,30 @@ def test_langwiki_fused_pipeline(multi_corpus):
     assert all("<EOS>" in f.tokens for f in fused)
     # language ids preserved through fusion
     assert [f.lang_id for f in fused] == [0, 1]
+
+
+def test_per_language_crf(tmp_path, multi_corpus):
+    """Enhanced per-language CRF: one transition matrix per corpus,
+    selected by lang_ids (sequence_tagger_model.py:391-415)."""
+    tag_dict = multi_corpus.make_tag_dictionary("ner")
+    tok = HashTokenizer(vocab_size=997)
+    cfg = TaggerConfig.for_tag_dictionary(
+        XLMRConfig.tiny(vocab_size=1000), tag_dict,
+        locked_dropout=0.0, word_dropout=0.0,
+        num_languages=len(multi_corpus.corpora))
+    eb = encode_batch(multi_corpus.train[:4], tok, tag_dict)
+    model, params = init_tagger(
+        cfg, jax.random.PRNGKey(0),
+        {k: jnp.asarray(v) for k, v in eb.arrays().items()})
+    # per-language transitions exist
+    assert params["params"]["transitions"].shape[0] == 2
+    trainer = FinetuneTrainer(model, params, multi_corpus, tok, tag_dict)
+    result = trainer.train(tmp_path / "plc", TrainConfig(
+        learning_rate=1e-3, lr_rate=1.0, batch_size=8, max_epochs=10))
+    assert np.isfinite(result["history"]["train_loss"]).all()
+    # the two languages' transition matrices have diverged during training
+    t = np.asarray(trainer.params["params"]["transitions"])
+    assert np.abs(t[0] - t[1]).max() > 1e-4
+    # prediction still runs (mixed-language batch)
+    preds = trainer.predict(multi_corpus.train[:6])
+    assert len(preds) == 6
