@@ -277,11 +277,13 @@ def add_classic_features(
         T = round_up(max(stream_len, 1), 32)
         T = min(T, max_stream_chars)
         char_stream = np.zeros((B, T), dtype=np.int32)
+        char_stream_mask = np.zeros((B, T), dtype=np.int32)
         word_char_starts = np.zeros((B, W), dtype=np.int32)
         word_char_ends = np.zeros((B, W), dtype=np.int32)
         for b, (rec, chars, (starts, ends)) in enumerate(
                 zip(eb.records, streams, bounds)):
             char_stream[b, : len(chars)] = chars
+            char_stream_mask[b, : len(chars)] = 1
             for w, tok in enumerate(rec.tokens[:W]):
                 word_char_starts[b, w] = min(starts[w], T - 1)
                 word_char_ends[b, w] = min(ends[w], T - 1)
@@ -291,6 +293,7 @@ def add_classic_features(
         eb.extra["char_ids"] = char_ids
         eb.extra["char_mask"] = char_mask
         eb.extra["char_stream"] = char_stream
+        eb.extra["char_stream_mask"] = char_stream_mask
         eb.extra["word_char_starts"] = word_char_starts
         eb.extra["word_char_ends"] = word_char_ends
     return eb

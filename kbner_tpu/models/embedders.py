@@ -109,22 +109,29 @@ class CharBiLSTMEmbedder(nn.Module):
 
 class CharLM(nn.Module):
     """Character language model (one direction) — the engine behind
-    FlairLMEmbedder and the LanguageModelTrainer."""
+    FlairLMEmbedder and the LanguageModelTrainer.
+
+    ``reverse=True`` runs right-to-left over each sequence's REAL length
+    (``seq_lengths``), so padded positions never leak into real states —
+    flipping a padded stream naively would make embeddings depend on how
+    much padding the batch happens to carry."""
 
     char_vocab_size: int
     embed_dim: int = 50
     hidden: int = 256
+    reverse: bool = False
 
     @nn.compact
-    def __call__(self, char_stream: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, char_stream: jnp.ndarray,
+                 seq_lengths: jnp.ndarray = None) -> jnp.ndarray:
         """[B, T] char ids -> [B, T, H] hidden states."""
         x = nn.Embed(self.char_vocab_size, self.embed_dim, name="embed")(
             char_stream)
-        rnn = nn.RNN(nn.OptimizedLSTMCell(self.hidden), name="lstm")
+        rnn = nn.RNN(nn.OptimizedLSTMCell(self.hidden),
+                     reverse=self.reverse, keep_order=True, name="lstm")
+        if seq_lengths is not None:
+            return rnn(x, seq_lengths=seq_lengths)
         return rnn(x)
-
-    def logits(self, hidden: jnp.ndarray) -> jnp.ndarray:
-        raise NotImplementedError  # provided by CharLMHead
 
 
 class CharLMHead(nn.Module):
@@ -168,15 +175,15 @@ class FlairLMEmbedder(nn.Module):
         self.fwd = CharLM(self.char_vocab_size, self.embed_dim, self.hidden,
                           name="fwd")
         self.bwd = CharLM(self.char_vocab_size, self.embed_dim, self.hidden,
-                          name="bwd")
+                          reverse=True, name="bwd")
 
     def __call__(self, batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
         stream = batch["char_stream"]  # [B, T]
         ends = batch["word_char_ends"]  # [B, W] index of last char per word
         starts = batch["word_char_starts"]  # [B, W]
-        h_f = self.fwd(stream)  # [B, T, H]
-        h_b = self.bwd(jnp.flip(stream, axis=1))
-        h_b = jnp.flip(h_b, axis=1)
+        lengths = batch["char_stream_mask"].sum(-1)  # [B]
+        h_f = self.fwd(stream, seq_lengths=lengths)  # [B, T, H]
+        h_b = self.bwd(stream, seq_lengths=lengths)
         f = jnp.take_along_axis(
             h_f, ends[:, :, None].repeat(self.hidden, -1), axis=1,
             mode="clip")
@@ -261,3 +268,65 @@ class ScalarMix(nn.Module):
         norm = jax.nn.softmax(weights)
         mixed = jnp.einsum("l,lbsh->bsh", norm, layer_stack)
         return gamma * mixed
+
+
+def build_pooled_flair_table(
+    flair_embedder: "FlairLMEmbedder",
+    params,
+    records,
+    tokenizer,
+    char_vocab,
+    pooling: str = "mean",
+    batch_size: int = 32,
+):
+    """Corpus-level pooled char-LM word embeddings (reference
+    ``PooledFlairEmbeddings``, embeddings.py:2557).
+
+    The reference grows a per-word-type memory of contextual embeddings
+    during training (min/max/mean/fade). A growing host-side memory breaks
+    the pure-array training step, so the TPU-friendly equivalent is a
+    two-pass precompute: run the (pre-trained) char LMs over the corpus
+    once, aggregate each word type's contextual embeddings, and serve the
+    result as a fixed lookup table (plug into :class:`WordEmbedder` with
+    ``table`` initialized from the returned matrix).
+
+    Returns (word_vocab: Dictionary, matrix [V, 2H] float32).
+    """
+    from ..data.dictionary import Dictionary
+    from ..data.encode import add_classic_features, encode_batch
+
+    vocab = Dictionary(add_unk=True)
+    for rec in records:
+        for tok in rec.tokens:
+            vocab.add_item(tok)
+    dim = 2 * flair_embedder.hidden
+    sums = np.zeros((len(vocab), dim), dtype=np.float64)
+    counts = np.zeros(len(vocab), dtype=np.int64)
+    mins = np.full((len(vocab), dim), np.inf)
+    maxs = np.full((len(vocab), dim), -np.inf)
+
+    for i in range(0, len(records), batch_size):
+        chunk = records[i:i + batch_size]
+        eb = encode_batch(chunk, tokenizer, None)
+        add_classic_features(eb, None, char_vocab)
+        arrays = {k: jnp.asarray(v) for k, v in eb.arrays().items()}
+        feats = np.asarray(flair_embedder.apply(params, arrays))
+        for b, rec in enumerate(chunk):
+            for w, tok in enumerate(rec.tokens[: feats.shape[1]]):
+                v = vocab.get_idx_for_item(tok)
+                sums[v] += feats[b, w]
+                counts[v] += 1
+                np.minimum(mins[v], feats[b, w], out=mins[v])
+                np.maximum(maxs[v], feats[b, w], out=maxs[v])
+
+    seen = counts > 0
+    if pooling == "mean":
+        table = np.where(seen[:, None], sums / np.maximum(counts, 1)[:, None],
+                         0.0)
+    elif pooling == "min":
+        table = np.where(seen[:, None], mins, 0.0)
+    elif pooling == "max":
+        table = np.where(seen[:, None], maxs, 0.0)
+    else:
+        raise ValueError(f"unknown pooling {pooling!r}")
+    return vocab, table.astype(np.float32)

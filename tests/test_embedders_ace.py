@@ -167,3 +167,36 @@ def test_char_lm_trainer(tmp_path, setup):
     losses = result["losses"]
     assert losses[-1] < losses[0]  # learns something
     assert (tmp_path / "lm" / "char-lm.msgpack").exists()
+
+
+def test_pooled_flair_table(setup):
+    from kbner_tpu.models.embedders import (
+        FlairLMEmbedder,
+        build_pooled_flair_table,
+    )
+
+    corpus, tag_dict, tok, wv, cv, eb, arrays = setup
+    fe = FlairLMEmbedder(char_vocab_size=len(cv), embed_dim=8, hidden=6)
+    params = fe.init(jax.random.PRNGKey(0), arrays)
+    vocab, table = build_pooled_flair_table(
+        fe, params, corpus.train, tok, cv, pooling="mean", batch_size=4)
+    assert table.shape == (len(vocab), 12)
+    # a word seen in the corpus has a nonzero pooled vector
+    idx = vocab.get_idx_for_item("Berlin")
+    assert np.abs(table[idx]).sum() > 0
+    # mean pooling: repeated words average their contextual embeddings;
+    # compare against a direct recomputation for one word
+    from kbner_tpu.data.encode import add_classic_features, encode_batch
+
+    occurrences = []
+    for rec in corpus.train:
+        if "Berlin" in rec.tokens:
+            eb1 = encode_batch([rec], tok, None)
+            add_classic_features(eb1, None, cv)
+            a1 = {k: jnp.asarray(v) for k, v in eb1.arrays().items()}
+            feats = np.asarray(fe.apply(params, a1))
+            for w, t in enumerate(rec.tokens):
+                if t == "Berlin":
+                    occurrences.append(feats[0, w])
+    np.testing.assert_allclose(
+        table[idx], np.mean(occurrences, axis=0), rtol=1e-4, atol=1e-5)
