@@ -173,3 +173,47 @@ def test_freeze_first_epoch(tmp_path, ctx_setup):
     after = np.asarray(
         trainer.params["params"]["encoder"]["word_embeddings"]["embedding"])
     np.testing.assert_allclose(before, after)  # encoder untouched in epoch 0
+
+
+def test_per_language_teacher_routing(ctx_setup):
+    """Two teachers, two languages: each sentence's cached emissions come
+    from its own language's teacher (distillation_trainer.py:709-774)."""
+    from kbner_tpu.data.conll import Corpus, ListCorpus
+    from kbner_tpu.data.encode import make_batches
+
+    corpus, tag_dict, tokenizer, cfg, model, params = ctx_setup
+    # two fake languages from the same records
+    recs = corpus.corpora[0].train if hasattr(corpus, "corpora") else \
+        corpus.train
+    en = Corpus(train=list(recs[:4]), dev=[], test=[], name="EN")
+    de = Corpus(train=list(recs[4:8]), dev=[], test=[], name="DE")
+    lc = ListCorpus([en, de])
+
+    t0_model, t0_params = init_tagger(
+        cfg, jax.random.PRNGKey(100),
+        {k: jnp.asarray(v) for k, v in
+         encode_batch(lc.train[:2], tokenizer, tag_dict).arrays().items()})
+    t1_model, t1_params = init_tagger(
+        cfg, jax.random.PRNGKey(200),
+        {k: jnp.asarray(v) for k, v in
+         encode_batch(lc.train[:2], tokenizer, tag_dict).arrays().items()})
+    trainer = DistillationTrainer(
+        model, _copy(params), lc, tokenizer, tag_dict,
+        teachers=[(t0_model, t0_params), (t1_model, t1_params)])
+
+    batches = make_batches(lc.train, tokenizer, tag_dict, batch_size=8,
+                           shuffle=False, tag_layer="ner")
+    cached = trainer._teacher_emissions(batches)
+
+    # recompute each row with its own teacher and compare
+    for eb, logits in zip(batches, cached):
+        arrays = {k: jnp.asarray(v) for k, v in eb.arrays().items()}
+        for t_idx, (tm, tp) in enumerate(trainer.teachers):
+            want = np.asarray(tm.apply(
+                tp, arrays["input_ids"], arrays["attention_mask"],
+                arrays["word_starts"], arrays["word_mask"],
+                deterministic=True))
+            rows = np.clip(eb.lang_ids, 0, 1) == t_idx
+            if rows.any():
+                np.testing.assert_allclose(
+                    logits[rows], want[rows], rtol=1e-5, atol=1e-5)
