@@ -178,11 +178,26 @@ class SequenceTagger(nn.Module):
     # -- decoding -------------------------------------------------------------
 
     def decode(
-        self, batch: Dict[str, jnp.ndarray], pad_tag: int = 0
+        self, batch: Dict[str, jnp.ndarray], pad_tag: int = 0,
+        posterior: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Viterbi (or argmax) tags [B, W] + scores [B]."""
+        """Viterbi (or argmax) tags [B, W] + scores [B].
+
+        ``posterior=True`` decodes by argmax of the forward-backward
+        marginals instead of Viterbi (the reference's posterior decode,
+        sequence_tagger_model.py:1182-1192)."""
         cfg = self.config
         emissions = self.emissions(batch, deterministic=True)
+        if cfg.use_crf and posterior:
+            marg = crf_marginals(
+                emissions, batch["crf_mask"], self._batch_transitions(batch),
+                cfg.start_idx, cfg.stop_idx)
+            tags = jnp.argmax(marg, axis=-1).astype(jnp.int32)
+            tags = jnp.where(batch["crf_mask"].astype(bool), tags, pad_tag)
+            score = jnp.sum(
+                jnp.log(jnp.max(marg, axis=-1) + 1e-9)
+                * batch["crf_mask"], axis=-1)
+            return tags, score
         if cfg.use_crf:
             return crf_decode(
                 emissions, batch["crf_mask"], self._batch_transitions(batch),

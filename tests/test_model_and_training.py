@@ -135,3 +135,17 @@ def test_encoder_export_roundtrip(tmp_path, toy_setup):
     trainer.load_encoder(p)
     after = trainer.params["params"]["encoder"]["word_embeddings"]["embedding"]
     np.testing.assert_allclose(np.asarray(after), np.asarray(before))
+
+
+def test_posterior_decode(toy_setup):
+    corpus, tag_dict, tokenizer, cfg, model, params = toy_setup
+    eb = encode_batch(corpus.train[:4], tokenizer, tag_dict)
+    arrays = {k: jnp.asarray(v) for k, v in eb.arrays().items()}
+    tags_v, _ = model.apply(params, arrays, method=model.decode)
+    tags_p, score_p = model.apply(params, arrays, posterior=True,
+                                  method=model.decode)
+    assert tags_p.shape == tags_v.shape
+    # posterior argmax is a valid tagging: no START/STOP at real positions
+    real = np.asarray(tags_p)[np.asarray(eb.crf_mask) == 1]
+    assert not np.isin(real, [cfg.start_idx, cfg.stop_idx]).any()
+    assert np.isfinite(np.asarray(score_p)).all()
