@@ -328,10 +328,28 @@ class RetrievalEngine:
 
         # sharded: each shard prunes+rescores its local slice (local CSR +
         # local doc rows), shard-local top-k all-gathered and merged
+        run = self._pruned_topk_fn(k, len(fields), per_term_cap)
+        scores, ids = run(jnp.asarray(rare), offsets, p_doc, p_imp,
+                          tuple(fields))
+        return np.asarray(scores), np.asarray(ids)
+
+    def _pruned_topk_fn(self, k: int, n_fields: int, per_term_cap: int):
+        """Cached jitted shard_map closure for meshed pruned search — a
+        fresh jit per call would recompile every query batch (the exhaustive
+        path's _topk_fn cache, for the same reason)."""
+        cached = getattr(self, "_pruned_cache", None)
+        if cached is None:
+            cached = self._pruned_cache = {}
+        key = (k, n_fields, per_term_cap)
+        if key in cached:
+            return cached[key]
+
         mesh = self.mesh
         shard_size = self._shard_size
         n_cand = self.n_candidates
         m_dup = self.rare_terms
+
+        from ..ops.bm25 import bm25_pruned_topk_device
 
         def shard_fn(rare_s, off_s, pd_s, pi_s, fields_s):
             shard_idx = jax.lax.axis_index(DATA_AXIS)
@@ -358,13 +376,12 @@ class RetrievalEngine:
             mesh=mesh,
             in_specs=(P(), P(DATA_AXIS, None), P(DATA_AXIS, None),
                       P(DATA_AXIS, None),
-                      tuple(field_spec for _ in fields)),
+                      tuple(field_spec for _ in range(n_fields))),
             out_specs=(P(), P()),
             check_vma=False,
         ))
-        scores, ids = run(jnp.asarray(rare), offsets, p_doc, p_imp,
-                          tuple(fields))
-        return np.asarray(scores), np.asarray(ids)
+        cached[key] = run
+        return run
 
     def search_encoded(
         self,

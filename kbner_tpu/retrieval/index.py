@@ -27,6 +27,7 @@ not just rankings — track ES closely.
 from __future__ import annotations
 
 import dataclasses
+import logging
 import pickle
 from collections import Counter
 from pathlib import Path
@@ -206,17 +207,36 @@ class BM25Index:
         Out-of-vocabulary terms get ``OOV_TERM`` and never match. A uniform
         per-query ``boost`` multiplies the weights (title boost 2.0 for
         entity queries, ``generate_data.py:52-55``).
+
+        Queries with more distinct terms than ``max_query_terms`` keep the
+        highest-idf (lowest-df) terms: rare terms dominate both BM25 scores
+        and candidate generation, so dropping frequent terms first preserves
+        ranking far better than insertion-order truncation. OOV terms (which
+        can never match) are dropped before any in-vocab term. The drop is
+        logged.
         """
         Q = len(queries)
         q_terms = np.full((Q, max_query_terms), OOV_TERM, dtype=np.int32)
         q_weights = np.zeros((Q, max_query_terms), dtype=np.float32)
+        n_dropped = 0
         for qi, text in enumerate(queries):
             counts = Counter(self.analyzer(text))
             boost = boosts[qi] if boosts is not None else 1.0
-            items = list(counts.items())[:max_query_terms]
-            for j, (t, mult) in enumerate(items):
-                q_terms[qi, j] = self.vocab.get(t, OOV_TERM)
+            items = [(self.vocab.get(t, OOV_TERM), mult)
+                     for t, mult in counts.items()]
+            if len(items) > max_query_terms:
+                # rarest (highest idf) first; OOV terms last (idf -inf)
+                items.sort(key=lambda x: (
+                    -float(self.idf[x[0]]) if x[0] >= 0 else np.inf))
+                n_dropped += len(items) - max_query_terms
+                items = items[:max_query_terms]
+            for j, (tid, mult) in enumerate(items):
+                q_terms[qi, j] = tid
                 q_weights[qi, j] = float(mult) * boost
+        if n_dropped:
+            logging.getLogger("kbner_tpu").info(
+                "encode_queries: dropped %d lowest-idf query terms over %d "
+                "queries (max_query_terms=%d)", n_dropped, Q, max_query_terms)
         return q_terms, q_weights
 
     # -- persistence ----------------------------------------------------------

@@ -176,7 +176,7 @@ class DistillationTrainer(FinetuneTrainer):
         step = jax.jit(train_step, donate_argnums=(0, 1))
         rng = jax.random.PRNGKey(config.seed)
         rng_order = np.random.RandomState(config.seed)
-        best_score = -1.0
+        best_score = -np.inf
         history = {"train_loss": [], "dev_score": []}
 
         for epoch in range(config.max_epochs):
@@ -203,8 +203,9 @@ class DistillationTrainer(FinetuneTrainer):
                 if dev_set:
                     metric, _ = self.evaluate(dev_set, config.eval_batch_size)
                     dev_scores.append(metric.micro_avg_f_score())
+            # negated loss when there is no dev set: best = lowest loss
             dev_score = (float(np.mean(dev_scores)) if dev_scores
-                         else train_loss)
+                         else -train_loss)
             history["dev_score"].append(dev_score)
             log.info("KD epoch %d  loss %.4f  dev %.4f  (%.1fs)",
                      epoch + 1, train_loss, dev_score, time.time() - t0)

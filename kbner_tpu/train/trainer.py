@@ -230,7 +230,7 @@ class FinetuneTrainer:
         train_step = self._build_train_step(tx, config)
 
         rng = jax.random.PRNGKey(config.seed)
-        best_score = -1.0
+        best_score = -np.inf
         history = {"train_loss": [], "dev_score": []}
 
         start_epoch = 0
@@ -277,8 +277,11 @@ class FinetuneTrainer:
                         metric, _ = self.evaluate(
                             dev_set, config.eval_batch_size)
                         dev_scores.append(metric.micro_avg_f_score())
+                # Without dev sets, select on train loss — negated, so that
+                # "higher selection score = better" still holds and the
+                # best-model is the LOWEST-loss epoch, not the first.
                 dev_score = (float(np.mean(dev_scores)) if dev_scores
-                             else train_loss)
+                             else -train_loss)
                 history["dev_score"].append(dev_score)
                 log.info(
                     "epoch %d  loss %.4f  dev %.4f  (%.1fs)",

@@ -149,3 +149,29 @@ def test_posterior_decode(toy_setup):
     real = np.asarray(tags_p)[np.asarray(eb.crf_mask) == 1]
     assert not np.isin(real, [cfg.start_idx, cfg.stop_idx]).any()
     assert np.isfinite(np.asarray(score_p)).all()
+
+
+def test_devless_best_model_is_lowest_loss(tmp_path, toy_setup):
+    """Without dev sets, selection falls back to train loss — the best
+    model must be the LOWEST-loss epoch (trainer previously kept the
+    highest, i.e. the first epoch)."""
+    from kbner_tpu.data.conll import Corpus
+
+    corpus, tag_dict, tokenizer, cfg, model, params = toy_setup
+    nodev = Corpus(train=list(corpus.train), dev=[], test=[], name="nodev")
+    trainer = FinetuneTrainer(
+        model, _copy(params), nodev, tokenizer, tag_dict)
+    out = trainer.train(tmp_path / "run", TrainConfig(
+        learning_rate=1e-3, lr_rate=1.0, batch_size=4, max_epochs=6,
+        warmup_fraction=0.05, seed=1))
+    hist = out["history"]
+    assert len(hist["train_loss"]) == 6
+    # selection score is -train_loss: best == lowest loss, not first epoch
+    assert out["best_dev_score"] == max(hist["dev_score"])
+    assert -out["best_dev_score"] == pytest.approx(min(hist["train_loss"]))
+    best_epoch = int(np.argmax(hist["dev_score"]))
+    assert best_epoch != 0 or np.argmin(hist["train_loss"]) == 0
+    if best_epoch == len(hist["train_loss"]) - 1:
+        # best saved at the final epoch -> identical to final-model
+        assert ((tmp_path / "run" / "best-model.msgpack").read_bytes()
+                == (tmp_path / "run" / "final-model.msgpack").read_bytes())

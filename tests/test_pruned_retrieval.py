@@ -40,25 +40,26 @@ def test_csr_consistency(corpus_index):
             assert t in index.doc_terms[d]
 
 
-def test_native_gather_matches_numpy(corpus_index):
+def test_native_gather_matches_numpy(corpus_index, monkeypatch, tmp_path):
     docs, index = corpus_index
     offsets, p_doc, p_imp, df = index.csr
     q_terms = np.asarray(
         [[1, 5, -1, 9], [2, -1, 3, 4]], dtype=np.int32)
     built = build_library()
     native = gather_postings(offsets, p_doc, p_imp, q_terms, budget=64)
-    # force numpy fallback by calling the internals with the lib disabled
+
+    # Force the NumPy fallback: no cached lib, a .so path that does not
+    # exist, AND build_library disabled — otherwise _load() would compile
+    # the real library into the bogus path and compare native with itself.
     import kbner_tpu.native as nat
 
-    lib_backup = nat._LIB
-    so_backup = nat._SO
-    nat._LIB = None
-    nat._SO = so_backup.parent / "nonexistent.so"
-    try:
-        fallback = gather_postings(offsets, p_doc, p_imp, q_terms, budget=64)
-    finally:
-        nat._LIB = lib_backup
-        nat._SO = so_backup
+    monkeypatch.setattr(nat, "_LIB", None)
+    monkeypatch.setattr(nat, "_SO", tmp_path / "nonexistent.so")
+    monkeypatch.setattr(nat, "build_library", lambda force=False: False)
+    assert nat._load() is None  # the fallback branch is really exercised
+    fallback = gather_postings(offsets, p_doc, p_imp, q_terms, budget=64)
+    assert not (tmp_path / "nonexistent.so").exists()
+
     np.testing.assert_array_equal(native[0], fallback[0])
     np.testing.assert_allclose(native[1], fallback[1])
     assert built
@@ -164,3 +165,34 @@ def test_pruned_sharded_matches_unsharded(corpus_index):
         np.testing.assert_allclose(
             sorted(d.score for d in a), sorted(d.score for d in b),
             rtol=1e-5)
+
+
+def test_pruned_sharded_jit_is_cached(corpus_index):
+    """The meshed pruned search must reuse one compiled closure across
+    query batches (it used to rebuild jit(shard_map(...)) per call)."""
+    from kbner_tpu.parallel import make_mesh
+
+    docs, index = corpus_index
+    mesh = make_mesh(data=8, model=1)
+    eng = RetrievalEngine(index, mode="pruned", rare_terms=8,
+                          posting_budget=2048, n_candidates=64, mesh=mesh)
+    eng.search([docs[0], docs[1]], k=5)
+    eng.search([docs[2], docs[3]], k=5)
+    assert len(eng._pruned_cache) == 1
+    (run,) = eng._pruned_cache.values()
+    assert run._cache_size() == 1  # second batch hit the jit cache
+
+
+def test_query_truncation_keeps_rare_terms():
+    """Over-long queries keep the highest-idf terms and drop OOV first
+    (index.py encode_queries), instead of arbitrary insertion order."""
+    docs = ["common filler"] * 20 + ["common rareword special"]
+    index = BM25Index.build(docs, pad_docs_to=8)
+    q = "unknownoov common rareword"
+    q_terms, q_weights = index.encode_queries([q], max_query_terms=2)
+    kept = set(q_terms[0].tolist())
+    assert index.vocab["rareword"] in kept  # rarest survives
+    assert index.vocab["common"] in kept    # in-vocab beats OOV
+    # with one slot, only the rarest survives
+    q_terms1, _ = index.encode_queries([q], max_query_terms=1)
+    assert q_terms1[0, 0] == index.vocab["rareword"]
