@@ -68,6 +68,17 @@ def quantize_doc_length(dl: int) -> int:
     return int4_to_long(long_to_int4(dl))
 
 
+def quantize_doc_lengths(dls: np.ndarray) -> np.ndarray:
+    """Vectorized :func:`quantize_doc_length` via a lookup table (doc
+    lengths are small ints; the table is built once per call)."""
+    if dls.size == 0:
+        return dls
+    table = np.asarray(
+        [quantize_doc_length(i) for i in range(int(dls.max()) + 1)],
+        dtype=np.int64)
+    return table[dls]
+
+
 @dataclasses.dataclass
 class BM25Params:
     k1: float = 1.2
@@ -130,64 +141,148 @@ class BM25Index:
         docs: Sequence[str],
         analyzer: Callable[[str], List[str]] = standard_analyze,
         params: Optional[BM25Params] = None,
-        max_doc_terms: Optional[int] = None,
+        max_doc_terms: int | str | None = "auto",
         pad_docs_to: int = 128,
     ) -> "BM25Index":
         """Analyze, count, and lay out the padded impact arrays.
 
+        Only the text analysis itself runs per document in Python; the
+        statistics and layout are one vectorized pass
+        (:meth:`build_encoded`) — the ingest-throughput counterpart of the
+        reference's 10k-doc ``_bulk`` batches (``kb/build_kb.py:41-86``).
+
         ``max_doc_terms`` caps distinct terms per document (lowest-impact
-        overflow dropped — only relevant for paragraph-sized fields).
-        ``pad_docs_to`` pads N up to a multiple for clean device blocking;
-        padding rows have no terms and never match.
+        overflow dropped — only relevant for paragraph-sized fields);
+        ``"auto"`` caps at the 99.5th percentile of per-doc distinct-term
+        counts so one outlier paragraph cannot inflate every row of the
+        dense layout. ``pad_docs_to`` pads N up to a multiple for clean
+        device blocking; padding rows have no terms and never match.
         """
         params = params or BM25Params()
-        analyzed: List[Counter] = []
-        doc_lens: List[int] = []
-        df_counter: Counter = Counter()
-        for doc in docs:
-            terms = analyzer(doc)
-            counts = Counter(terms)
-            analyzed.append(counts)
-            doc_lens.append(len(terms))
-            df_counter.update(counts.keys())
-
+        analyzed = [analyzer(doc) for doc in docs]
         n_docs = len(docs)
-        vocab = {t: i for i, t in enumerate(sorted(df_counter))}
-        df = np.zeros(len(vocab), dtype=np.int64)
-        for t, c in df_counter.items():
-            df[vocab[t]] = c
-        idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)).astype(np.float32)
-
-        if doc_lens:
-            # Lucene's avgdl uses true total term count / doc count, but the
-            # per-doc dl in the norm is the quantized stored value.
-            avgdl = float(np.mean(doc_lens)) if n_docs else 1.0
+        doc_lens = np.fromiter(
+            (len(t) for t in analyzed), np.int64, count=n_docs)
+        total = int(doc_lens.sum())
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for terms in analyzed:
+            flat[pos:pos + len(terms)] = terms
+            pos += len(terms)
+        if total:
+            # sorted-unique vocabulary + vectorized token->id mapping
+            uniq, flat_ids = np.unique(flat, return_inverse=True)
+            vocab = {t: i for i, t in enumerate(uniq.tolist())}
         else:
-            avgdl = 1.0
+            vocab = {}
+            flat_ids = np.zeros(0, dtype=np.int64)
 
-        ld = max((len(c) for c in analyzed), default=1)
-        if max_doc_terms is not None:
-            ld = min(ld, max_doc_terms)
+        max_len = int(doc_lens.max()) if n_docs else 1
+        tok = np.full((max(n_docs, 1), max(max_len, 1)), -1, dtype=np.int32)
+        row = np.repeat(np.arange(n_docs), doc_lens)
+        offsets = np.cumsum(doc_lens) - doc_lens
+        col = np.arange(total) - np.repeat(offsets, doc_lens)
+        tok[row, col] = flat_ids
+        return cls.build_encoded(
+            tok[:n_docs], vocab, params=params, max_doc_terms=max_doc_terms,
+            pad_docs_to=pad_docs_to, analyzer=analyzer, doc_lens=doc_lens)
+
+    @classmethod
+    def build_encoded(
+        cls,
+        doc_token_ids: np.ndarray,
+        vocab: Dict[str, int],
+        params: Optional[BM25Params] = None,
+        max_doc_terms: int | str | None = "auto",
+        pad_docs_to: int = 128,
+        analyzer: Callable[[str], List[str]] = standard_analyze,
+        doc_lens: Optional[np.ndarray] = None,
+    ) -> "BM25Index":
+        """Vectorized build from pre-analyzed term ids ``[N, L]`` (pad < 0).
+
+        One NumPy pass over the whole collection: per-row sort groups equal
+        terms, run-length stats give tf/df, and the padded impact layout is
+        a single fancy-index scatter — no per-document Python loop. This is
+        the bulk-ingest path for collection-scale builds (synthetic or
+        pre-tokenized corpora) and the backend of :meth:`build`.
+
+        ``doc_lens`` overrides the per-doc total term count used in the
+        BM25 length norm (defaults to the number of valid slots per row).
+        """
+        params = params or BM25Params()
+        tok = np.asarray(doc_token_ids)
+        n_docs = tok.shape[0]
+        V = len(vocab)
+        valid = tok >= 0
+        if doc_lens is None:
+            doc_lens = valid.sum(axis=1).astype(np.int64)
+        doc_lens = np.asarray(doc_lens, dtype=np.int64)
+        avgdl = float(doc_lens.mean()) if n_docs else 1.0
+
+        # group equal terms within each row: pads sort to the end. Sort in
+        # int32 when term ids fit (2x the memory bandwidth of int64 — the
+        # sort is the hot step of collection-scale builds).
+        dtype = np.int32 if V < 2**31 - 1 else np.int64
+        BIG = dtype(2**31 - 1) if dtype == np.int32 else np.int64(2**62)
+        sorted_terms = np.sort(
+            np.where(valid, tok, BIG).astype(dtype), axis=1)
+        svalid = sorted_terms != BIG
+        run_start = svalid.copy()
+        run_start[:, 1:] &= sorted_terms[:, 1:] != sorted_terms[:, :-1]
+
+        flat_start = run_start.ravel()
+        flat_valid = svalid.ravel()
+        n_runs = int(flat_start.sum())
+        run_id = np.cumsum(flat_start) - 1  # pads inherit the prior run id
+        tf = np.bincount(
+            run_id[flat_valid], minlength=max(n_runs, 1)).astype(np.float64)
+        starts = np.nonzero(flat_start)[0]
+        term_of_run = sorted_terms.ravel()[starts]
+        doc_of_run = starts // max(tok.shape[1], 1)
+
+        df = np.bincount(term_of_run, minlength=V) if n_runs else np.zeros(
+            V, dtype=np.int64)
+        idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)).astype(
+            np.float32)
+
+        # Lucene's avgdl is the true mean term count; the per-doc dl in the
+        # norm is the (optionally) quantized stored value.
+        dl = (quantize_doc_lengths(doc_lens) if params.quantize_norms
+              else doc_lens)
+        norm = params.k1 * (1.0 - params.b + params.b * dl / avgdl)  # [N]
+        impact = (idf[term_of_run].astype(np.float64) * tf
+                  / (tf + norm[doc_of_run])).astype(np.float32)
+
+        nt = np.bincount(doc_of_run, minlength=max(n_docs, 1))
+        ld_full = int(nt.max()) if n_runs else 1
+        if max_doc_terms == "auto":
+            ld = min(ld_full,
+                     max(32, int(np.percentile(nt, 99.5)))) if n_runs else 1
+        elif max_doc_terms is None:
+            ld = ld_full
+        else:
+            ld = min(ld_full, int(max_doc_terms))
+        ld = max(ld, 1)
+        if ld < ld_full:
+            # keep the highest-impact terms of over-long docs
+            order = np.lexsort((-impact, doc_of_run))
+            term_of_run = term_of_run[order]
+            doc_of_run = doc_of_run[order]
+            impact = impact[order]
+            logging.getLogger("kbner_tpu").info(
+                "build: capped %d docs to %d distinct terms (max %d)",
+                int((nt > ld).sum()), ld, ld_full)
+
+        # position within doc (runs stay doc-grouped either way)
+        cum = np.cumsum(nt) - nt
+        pos = np.arange(n_runs) - cum[doc_of_run]
+        keep = pos < ld
         n_pad = ((n_docs + pad_docs_to - 1) // pad_docs_to) * pad_docs_to
+        n_pad = max(n_pad, pad_docs_to)
         doc_terms = np.full((n_pad, ld), PAD_TERM, dtype=np.int32)
         doc_impacts = np.zeros((n_pad, ld), dtype=np.float32)
-
-        k1, b = params.k1, params.b
-        for d, counts in enumerate(analyzed):
-            dl = doc_lens[d]
-            if params.quantize_norms:
-                dl = quantize_doc_length(dl)
-            norm = k1 * (1.0 - b + b * dl / avgdl)
-            items = [
-                (vocab[t], idf[vocab[t]] * tf / (tf + norm))
-                for t, tf in counts.items()
-            ]
-            if len(items) > ld:
-                items.sort(key=lambda x: -x[1])
-                items = items[:ld]
-            for j, (tid, imp) in enumerate(items):
-                doc_terms[d, j] = tid
-                doc_impacts[d, j] = imp
+        doc_terms[doc_of_run[keep], pos[keep]] = term_of_run[keep]
+        doc_impacts[doc_of_run[keep], pos[keep]] = impact[keep]
 
         return cls(vocab, idf, doc_terms, doc_impacts, n_docs, avgdl, params,
                    analyzer)

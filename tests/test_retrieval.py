@@ -218,3 +218,42 @@ def test_analyzer_hangul_and_kana():
     # Hangul syllables and kana are in the CJK single-char ranges
     toks = standard_analyze("한국어 テスト")
     assert "한" in toks and "국" in toks and "テ" in toks
+
+
+def test_build_encoded_matches_build():
+    """The vectorized bulk path (term ids in, one NumPy pass) produces the
+    identical index to the text path for the same tokenization."""
+    rng = np.random.RandomState(3)
+    docs = []
+    for _ in range(57):
+        words = rng.randint(0, 40, size=rng.randint(1, 15))
+        docs.append(" ".join(f"w{w:02d}" for w in words))
+    a = BM25Index.build(docs, pad_docs_to=16)
+
+    # encode by hand with the same vocab and compare every array
+    L = max(len(d.split()) for d in docs)
+    tok = np.full((len(docs), L), -1, np.int32)
+    for i, d in enumerate(docs):
+        for j, t in enumerate(d.split()):
+            tok[i, j] = a.vocab[t]
+    b = BM25Index.build_encoded(tok, a.vocab, pad_docs_to=16)
+    np.testing.assert_array_equal(a.doc_terms, b.doc_terms)
+    np.testing.assert_allclose(a.doc_impacts, b.doc_impacts, rtol=1e-6)
+    np.testing.assert_allclose(a.idf, b.idf)
+    assert a.avgdl == b.avgdl and a.n_docs == b.n_docs
+
+
+def test_build_max_doc_terms_keeps_highest_impact():
+    """Capping distinct terms per doc drops the LOWEST-impact slots."""
+    # doc 0 has 6 distinct terms; rare terms (high idf) must survive a cap=3
+    docs = ["r1 r2 r3 c1 c2 c3"] + ["c1 c2 c3"] * 9
+    full = BM25Index.build(docs, max_doc_terms=None, pad_docs_to=8)
+    capped = BM25Index.build(docs, max_doc_terms=3, pad_docs_to=8)
+    assert capped.doc_terms.shape[1] == 3
+    kept = set(capped.doc_terms[0].tolist())
+    assert kept == {full.vocab["r1"], full.vocab["r2"], full.vocab["r3"]}
+    # impacts of kept slots are exact (same stats as the uncapped build)
+    by_term_full = dict(zip(full.doc_terms[0].tolist(),
+                            full.doc_impacts[0].tolist()))
+    for t, imp in zip(capped.doc_terms[0], capped.doc_impacts[0]):
+        assert imp == pytest.approx(by_term_full[int(t)])
