@@ -3,67 +3,164 @@
 The reference indexes with Elasticsearch's ``standard`` analyzer for all
 languages except Chinese, which uses ``ik_max_word``/``ik_smart``
 (``/root/reference/kb/build_kb.py:17-22``). Recall parity with ES is measured
-at recall@k, so the analyzer must tokenize closely enough to Lucene's
-StandardTokenizer (UAX#29 word boundaries) + LowerCaseFilter.
+at recall@k, so the analyzer must tokenize like Lucene's StandardTokenizer
+(the UAX#29 word-break grammar) + LowerCaseFilter.
 
-Approximation implemented here (host-side, index-build and query time only):
+``standard_analyze`` implements the UAX#29 word segmentation subset the
+grammar uses, including the behaviors naive regex tokenizers miss:
 
-  - runs of Unicode word characters (letters/digits/underscore removed)
-    form tokens; apostrophes inside words are kept split off (Lucene splits
-    on them for most cases via UAX#29 mid-letter rules -- we approximate by
-    keeping ASCII apostrophe-joined parts as separate tokens),
-  - CJK ideographs are emitted as single-character tokens (UAX#29 assigns
-    each Han character its own word boundary; this is also a usable stand-in
-    for ik_smart's coarse segmentation at the recall level),
-  - lowercase via str.lower() (Lucene uses Unicode lowercase; Python's agrees
-    for the languages in the KB).
+  - MidLetter / MidNumLet / Single_Quote joins: ``don't``, ``U.S.A``,
+    ``example.com`` are single tokens; ``3.14`` and ``1,000`` stay whole
+    (WB6/7, WB11/12),
+  - ExtendNumLet: underscores join (``foo_bar`` is one token, WB13a/b),
+  - Han and Hiragana emit single-character tokens; Katakana runs join
+    (WB13); Hangul syllables are letters and join into words,
+  - combining marks / format chars attach to the current token (WB4),
+  - lowercase via str.lower() (agrees with Lucene's LowerCaseFilter for
+    the KB's languages).
 
 ES ``standard`` applies no stopword removal by default, so neither do we.
+``tests/test_analyzer_lucene_golden.py`` pins ~80 golden tokenizations.
 """
 
 from __future__ import annotations
 
-import re
+import unicodedata
 from typing import List
 
-# CJK unified ideographs + extensions + Hiragana/Katakana + Hangul syllables
-_CJK_RANGES = (
-    (0x2E80, 0x2EFF), (0x3040, 0x30FF), (0x3400, 0x4DBF),
-    (0x4E00, 0x9FFF), (0xAC00, 0xD7AF), (0xF900, 0xFAFF),
-    (0x20000, 0x2A6DF),
+# -- UAX#29 Word_Break classes (the subset relevant to the KB's languages) --
+
+_HAN_RANGES = (
+    (0x3400, 0x4DBF), (0x4E00, 0x9FFF), (0xF900, 0xFAFF),
+    (0x20000, 0x2EBEF),
 )
+_HIRAGANA_RANGES = ((0x3041, 0x3096), (0x309D, 0x309F))
+_KATAKANA_RANGES = ((0x30A1, 0x30FA), (0x30FC, 0x30FF), (0x31F0, 0x31FF),
+                    (0xFF66, 0xFF9D))
 
-_WORD_RE = re.compile(r"[\w]+", re.UNICODE)
+_MIDLETTER = frozenset({0x00B7, 0x0387, 0x05F4, 0x2027, 0xFE13, 0xFE55,
+                        0xFF1A})
+_MIDNUMLET = frozenset({0x002E, 0x2019, 0x2024, 0xFE52, 0xFF07, 0xFF0E})
+_SINGLE_QUOTE = frozenset({0x0027})
+_MIDNUM = frozenset({0x002C, 0x003B, 0x037E, 0x066C, 0xFE10, 0xFE14,
+                     0xFE50, 0xFE54, 0xFF0C, 0xFF1B})
+_EXTENDNUMLET = frozenset({0x005F, 0x203F, 0x2040, 0x2054, 0xFE33, 0xFE34,
+                           0xFE4D, 0xFE4E, 0xFE4F, 0xFF3F})
+
+# class tags
+(_OTHER, _ALETTER, _NUMERIC, _KATAKANA, _HAN, _HIRAGANA, _ENL, _MID_LET,
+ _MID_NUMLET, _MID_NUM, _SQ, _EXTEND) = range(12)
+
+_WORD_CLASSES = (_ALETTER, _NUMERIC, _KATAKANA, _ENL)
+# no-break pairs among word classes (WB5, WB8-10, WB13, WB13a/b)
+_JOINS = {
+    (_ALETTER, _ALETTER), (_ALETTER, _NUMERIC),
+    (_NUMERIC, _ALETTER), (_NUMERIC, _NUMERIC),
+    (_KATAKANA, _KATAKANA),
+    (_ALETTER, _ENL), (_NUMERIC, _ENL), (_KATAKANA, _ENL), (_ENL, _ENL),
+    (_ENL, _ALETTER), (_ENL, _NUMERIC), (_ENL, _KATAKANA),
+}
 
 
-def _is_cjk(ch: str) -> bool:
+def _in_ranges(cp: int, ranges) -> bool:
+    return any(lo <= cp <= hi for lo, hi in ranges)
+
+
+def _wb_class(ch: str) -> int:
     cp = ord(ch)
-    return any(lo <= cp <= hi for lo, hi in _CJK_RANGES)
+    if _in_ranges(cp, _HAN_RANGES):
+        return _HAN
+    if _in_ranges(cp, _HIRAGANA_RANGES):
+        return _HIRAGANA
+    if _in_ranges(cp, _KATAKANA_RANGES):
+        return _KATAKANA
+    if cp in _EXTENDNUMLET:
+        return _ENL
+    if cp in _MIDNUMLET:
+        return _MID_NUMLET
+    if cp in _SINGLE_QUOTE:
+        return _SQ
+    if cp in _MIDLETTER:
+        return _MID_LET
+    if cp in _MIDNUM:
+        return _MID_NUM
+    cat = unicodedata.category(ch)
+    if cat == "Nd":
+        return _NUMERIC
+    if cat[0] == "L" or cat == "Nl":
+        return _ALETTER
+    if cat in ("Mn", "Mc", "Me", "Cf"):
+        return _EXTEND
+    return _OTHER
 
 
 def standard_analyze(text: str) -> List[str]:
-    """Lucene standard-analyzer-like tokenization + lowercasing."""
+    """Lucene standard-analyzer tokenization + lowercasing (see module
+    docstring for the UAX#29 rules implemented)."""
     tokens: List[str] = []
-    for m in _WORD_RE.finditer(text):
-        word = m.group(0)
-        # underscore is a word char in \w but a boundary in UAX#29
-        for part in word.split("_"):
-            if not part:
+    cur: List[str] = []
+    prev_cls = _OTHER      # class of the last base char of the current token
+    has_core = False       # current token contains a non-ENL word char
+
+    def flush() -> None:
+        nonlocal cur, prev_cls, has_core
+        if cur and has_core:
+            tokens.append("".join(cur).lower())
+        cur = []
+        prev_cls = _OTHER
+        has_core = False
+
+    n = len(text)
+    i = 0
+    while i < n:
+        ch = text[i]
+        c = _wb_class(ch)
+        if c == _EXTEND:
+            # WB4: combining/format chars attach, don't change the class
+            if cur:
+                cur.append(ch)
+            i += 1
+            continue
+        if c in (_HAN, _HIRAGANA):
+            # Lucene's grammar: ideographic / hiragana single-char tokens
+            flush()
+            tokens.append(ch)
+            i += 1
+            continue
+        if c in _WORD_CLASSES:
+            if cur and (prev_cls, c) not in _JOINS:
+                flush()
+            cur.append(ch)
+            prev_cls = c
+            has_core = has_core or c != _ENL
+            i += 1
+            continue
+        if c in (_MID_LET, _MID_NUMLET, _MID_NUM, _SQ) and cur:
+            # WB6/7, WB11/12: join iff a matching word char follows
+            # (skipping Extend/Format chars)
+            j = i + 1
+            while j < n and _wb_class(text[j]) == _EXTEND:
+                j += 1
+            nxt = _wb_class(text[j]) if j < n else _OTHER
+            letter_join = (prev_cls == _ALETTER and nxt == _ALETTER
+                           and c in (_MID_LET, _MID_NUMLET, _SQ))
+            numeric_join = (prev_cls == _NUMERIC and nxt == _NUMERIC
+                            and c in (_MID_NUM, _MID_NUMLET, _SQ))
+            if letter_join or numeric_join:
+                cur.append(ch)  # prev_cls stays the base class
+                i += 1
                 continue
-            # split runs containing CJK chars into per-char tokens, keeping
-            # non-CJK runs intact
-            buf = []
-            for ch in part:
-                if _is_cjk(ch):
-                    if buf:
-                        tokens.append("".join(buf).lower())
-                        buf = []
-                    tokens.append(ch)
-                else:
-                    buf.append(ch)
-            if buf:
-                tokens.append("".join(buf).lower())
+            flush()
+            i += 1
+            continue
+        flush()
+        i += 1
+    flush()
     return tokens
+
+
+def _is_cjk_single(tok: str) -> bool:
+    return len(tok) == 1 and _in_ranges(ord(tok), _HAN_RANGES)
 
 
 def cjk_analyze(text: str) -> List[str]:
@@ -77,7 +174,7 @@ def cjk_analyze(text: str) -> List[str]:
     prev_cjk = None
     for tok in base:
         out.append(tok)
-        if len(tok) == 1 and _is_cjk(tok):
+        if _is_cjk_single(tok):
             if prev_cjk is not None:
                 out.append(prev_cjk + tok)
             prev_cjk = tok
