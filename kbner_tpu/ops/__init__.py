@@ -6,6 +6,8 @@ from .crf import (
     crf_neg_log_likelihood,
 )
 from .bm25 import (
+    bm25_pruned_topk,
+    bm25_pruned_topk_rows,
     bm25_score_block_pallas,
     bm25_score_block_xla,
     bm25_topk,
@@ -28,6 +30,8 @@ __all__ = [
     "bm25_score_block_xla",
     "bm25_score_block_pallas",
     "bm25_topk",
+    "bm25_pruned_topk",
+    "bm25_pruned_topk_rows",
     "merge_topk",
     "distillation_loss",
     "posterior_distillation_loss",

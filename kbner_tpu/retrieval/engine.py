@@ -155,13 +155,15 @@ class RetrievalEngine:
                     self._device_rows[name] = (jnp.asarray(dt),
                                                jnp.asarray(di))
                     if name == "text":
-                        # CSR postings resident in HBM: per-query traffic
-                        # is just the [Q, M] rare-term ids
-                        offsets, p_doc, p_imp, _ = self.text_index.csr
+                        # row-blocked impact-ordered CSR postings resident
+                        # in HBM: per-query traffic is just the [Q, M]
+                        # rare-term ids; windows are fetched as 128-lane
+                        # row gathers (bm25_pruned_topk_rows)
+                        off32, pd_rows, pi_rows = self.text_index.csr_rows()
                         self._device_csr = (
-                            jnp.asarray(offsets.astype(np.int32)),
-                            jnp.asarray(p_doc),
-                            jnp.asarray(p_imp),
+                            jnp.asarray(off32),
+                            jnp.asarray(pd_rows),
+                            jnp.asarray(pi_rows),
                         )
                 else:
                     # sharded pruned: rows stacked [S, shard, Ld] over
@@ -190,10 +192,12 @@ class RetrievalEngine:
             self._device_fields[name] = (dtt, dit)
 
     def _build_shard_csr(self, dt_padded: np.ndarray, di_padded: np.ndarray):
-        """Per-shard local CSR postings, stacked [S, ...] and sharded over
-        'data'. Padding rows carry term -1 and never enter the postings."""
+        """Per-shard local row-blocked CSR postings, stacked [S, ...] and
+        sharded over 'data'. Impact-ordered within each term (csr_rows
+        semantics); padding rows carry term -1 and never enter postings."""
         S, ss = self.n_shards, self._shard_size
         V = len(self.text_index.vocab)
+        lanes, guard = 128, 32
         offs, pds, pis = [], [], []
         for s in range(S):
             sl_t = dt_padded[s * ss:(s + 1) * ss]
@@ -202,7 +206,7 @@ class RetrievalEngine:
             terms = sl_t[valid]
             docs = np.nonzero(valid)[0].astype(np.int32)
             imps = sl_i[valid].astype(np.float32)
-            order = np.argsort(terms, kind="stable")
+            order = np.lexsort((-imps, terms))
             df = np.bincount(terms[order], minlength=V)
             off = np.zeros(V + 1, dtype=np.int32)
             np.cumsum(df, out=off[1:])
@@ -210,16 +214,18 @@ class RetrievalEngine:
             pds.append(docs[order])
             pis.append(imps[order])
         nnz = max((len(p) for p in pds), default=1)
-        p_doc = np.zeros((S, nnz), np.int32)
-        p_imp = np.zeros((S, nnz), np.float32)
+        nr = (nnz + lanes - 1) // lanes + guard
+        p_doc = np.full((S, nr * lanes), -1, np.int32)
+        p_imp = np.zeros((S, nr * lanes), np.float32)
         for s in range(S):
             p_doc[s, : len(pds[s])] = pds[s]
             p_imp[s, : len(pis[s])] = pis[s]
         sh2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        sh3 = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
         return (
             jax.device_put(np.stack(offs), sh2),
-            jax.device_put(p_doc, sh2),
-            jax.device_put(p_imp, sh2),
+            jax.device_put(p_doc.reshape(S, nr, lanes), sh3),
+            jax.device_put(p_imp.reshape(S, nr, lanes), sh3),
         )
 
     # -- search ---------------------------------------------------------------
@@ -300,7 +306,7 @@ class RetrievalEngine:
     def _search_pruned(
         self, q_terms, q_weights, k, title_terms, title_weights,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        from ..ops.bm25 import bm25_pruned_topk_device
+        from ..ops.bm25 import bm25_pruned_topk_rows
 
         rare = self._select_rare_terms(q_terms)
         fields = [(
@@ -318,7 +324,7 @@ class RetrievalEngine:
         per_term_cap = max(1, self.posting_budget // self.rare_terms)
 
         if self.mesh is None:
-            scores, ids = bm25_pruned_topk_device(
+            scores, ids = bm25_pruned_topk_rows(
                 jnp.asarray(rare), offsets, p_doc, p_imp, tuple(fields),
                 n_real_docs=self.text_index.n_docs, k=k,
                 n_candidates=self.n_candidates,
@@ -349,13 +355,13 @@ class RetrievalEngine:
         n_cand = self.n_candidates
         m_dup = self.rare_terms
 
-        from ..ops.bm25 import bm25_pruned_topk_device
+        from ..ops.bm25 import bm25_pruned_topk_rows
 
         def shard_fn(rare_s, off_s, pd_s, pi_s, fields_s):
             shard_idx = jax.lax.axis_index(DATA_AXIS)
             local_fields = tuple(
                 (qt, qw, dtt[0], dit[0]) for (qt, qw, dtt, dit) in fields_s)
-            s_scores, s_ids = bm25_pruned_topk_device(
+            s_scores, s_ids = bm25_pruned_topk_rows(
                 rare_s, off_s[0], pd_s[0], pi_s[0], local_fields,
                 n_real_docs=shard_size, k=k, n_candidates=n_cand,
                 per_term_cap=per_term_cap, max_dup_shifts=m_dup)
@@ -374,8 +380,8 @@ class RetrievalEngine:
         run = jax.jit(jax.shard_map(
             shard_fn,
             mesh=mesh,
-            in_specs=(P(), P(DATA_AXIS, None), P(DATA_AXIS, None),
-                      P(DATA_AXIS, None),
+            in_specs=(P(), P(DATA_AXIS, None), P(DATA_AXIS, None, None),
+                      P(DATA_AXIS, None, None),
                       tuple(field_spec for _ in range(n_fields))),
             out_specs=(P(), P()),
             check_vma=False,

@@ -114,24 +114,40 @@ class BM25Index:
     def csr(self):
         """Term-major CSR postings (offsets [V+1], doc ids [NNZ], impacts
         [NNZ], df [V]) — the candidate-generation side of two-pass pruned
-        search. Built lazily from the padded doc arrays."""
+        search. Built lazily from the padded doc arrays.
+
+        Postings within each term are IMPACT-ORDERED (descending): a
+        cap-sized prefix then holds the term's highest-impact documents,
+        so capped pass-1 reads lose as little recall as possible
+        (impact-ordered indexes, the MaxScore/JASS idea)."""
         if self._csr is None:
             valid = self.doc_terms >= 0
             terms = self.doc_terms[valid]
             docs = np.nonzero(valid)[0].astype(np.int32)
-            imps = self.doc_impacts[valid]
-            order = np.argsort(terms, kind="stable")
+            imps = self.doc_impacts[valid].astype(np.float32)
+            order = np.lexsort((-imps, terms))
             terms_s = terms[order]
             df = np.bincount(terms_s, minlength=len(self.vocab))
             offsets = np.zeros(len(self.vocab) + 1, dtype=np.int64)
             np.cumsum(df, out=offsets[1:])
-            self._csr = (
-                offsets,
-                docs[order],
-                imps[order].astype(np.float32),
-                df.astype(np.int64),
-            )
+            self._csr = (offsets, docs[order], imps[order], df.astype(np.int64))
         return self._csr
+
+    def csr_rows(self, lanes: int = 128, guard_rows: int = 32):
+        """Row-blocked postings for the fast device gather path
+        (``ops/bm25.py::bm25_pruned_topk_rows``): the CSR postings padded
+        to whole ``lanes``-wide rows plus ``guard_rows`` so any window's
+        covering rows exist. Returns (offsets int32 [V+1],
+        doc rows [NR, lanes] int32 pad -1, impact rows [NR, lanes] f32)."""
+        offsets, p_doc, p_imp, _ = self.csr
+        nnz = len(p_doc)
+        nr = (nnz + lanes - 1) // lanes + guard_rows
+        pd = np.full((nr * lanes,), -1, dtype=np.int32)
+        pd[:nnz] = p_doc
+        pi = np.zeros((nr * lanes,), dtype=np.float32)
+        pi[:nnz] = p_imp
+        return (offsets.astype(np.int32), pd.reshape(nr, lanes),
+                pi.reshape(nr, lanes))
 
     # -- construction ---------------------------------------------------------
 
