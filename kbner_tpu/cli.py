@@ -42,6 +42,9 @@ def _build(config):
 
     corpus = config.load_corpus()
     tokenizer = config.make_tokenizer()
+    # data-encoding policies: v2_doc document windows rewrite the corpus
+    # (config.prepare_corpus); stride windows are applied by the trainer
+    corpus = config.prepare_corpus(corpus, tokenizer)
 
     target_dir = config.resolve_target_dir()
     tag_dict_path = target_dir / "tag_dictionary.json"
@@ -72,7 +75,10 @@ def _build(config):
 
     trainer = FinetuneTrainer(
         model, params, corpus, tokenizer, tag_dict,
-        tag_layer=config.tag_layer)
+        tag_layer=config.tag_layer,
+        stride_windows=config.data.get("stride_windows", False),
+        stride_max_subtokens=config.data.get("max_subtokens", 510),
+        stride_words=config.data.get("stride_words", 16))
     return corpus, tokenizer, tag_dict, model, trainer
 
 

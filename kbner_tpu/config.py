@@ -64,6 +64,12 @@ class ExperimentConfig:
         default_factory=lambda: {"type": "hash", "vocab_size": 50000})
     model: Dict[str, Any] = dataclasses.field(default_factory=dict)
     train: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    # data-encoding policies (reference: TransformerWordEmbeddings flags)
+    #   doc_context / v2_doc: embed each sentence inside a document window
+    #     (embeddings.py:3657-3790); doc_window_budget = subtoken budget
+    #   stride_windows: split + stitch over-budget sentences
+    #     (embeddings.py:3202-3227); stride_words / max_subtokens tune it
+    data: Dict[str, Any] = dataclasses.field(default_factory=dict)
     target_dir: Optional[str] = None
     trainer: str = "FinetuneTrainer"
 
@@ -95,6 +101,7 @@ class ExperimentConfig:
                                             "vocab_size": 50000}),
             model=raw.get("model", {}),
             train=raw.get("train", {}),
+            data=raw.get("data", {}),
             target_dir=raw.get("target_dir"),
             trainer=raw.get("trainer", "FinetuneTrainer"),
         )
@@ -112,6 +119,33 @@ class ExperimentConfig:
             for spec in self.corpora
         ]
         return ListCorpus(corpora)
+
+    def prepare_corpus(self, corpus: ListCorpus, tokenizer) -> ListCorpus:
+        """Apply the config's data-encoding policies to every split.
+
+        ``doc_context: true`` (the reference's v2_doc) rewrites each
+        sentence as a document window: neighbor sentences join as S-X
+        context tokens, so they shape the encoder's attention but stay
+        outside the CRF and the metrics (``data/doc_context.py``)."""
+        if not self.data.get("doc_context", False):
+            return corpus
+        from .data.doc_context import make_doc_context_records
+
+        budget = int(self.data.get("doc_window_budget", 510))
+        new_corpora = []
+        for c in corpus.corpora:
+            splits = {}
+            for split_name in ("train", "dev", "test"):
+                recs = getattr(c, split_name)
+                if recs:
+                    windowed, _ = make_doc_context_records(
+                        recs, tokenizer, budget=budget,
+                        tag_layer=self.tag_layer)
+                    splits[split_name] = windowed
+                else:
+                    splits[split_name] = recs
+            new_corpora.append(Corpus(name=c.name, **splits))
+        return ListCorpus(new_corpora)
 
     def make_tokenizer(self):
         t = dict(self.tokenizer)

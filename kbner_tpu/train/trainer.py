@@ -90,6 +90,9 @@ class FinetuneTrainer:
         tag_dict: Dictionary,
         mesh=None,
         tag_layer: str = "ner",
+        stride_windows: bool = False,
+        stride_max_subtokens: int = 510,
+        stride_words: int = 16,
     ):
         self.model = model
         self.params = params
@@ -100,6 +103,11 @@ class FinetuneTrainer:
         self.tag_dict = tag_dict
         self.mesh = mesh
         self.tag_layer = tag_layer
+        # sliding-window split + stitch for over-budget sentences at
+        # predict/eval time (embeddings.py:3202-3227 semantics)
+        self.stride_windows = stride_windows
+        self.stride_max_subtokens = stride_max_subtokens
+        self.stride_words = stride_words
         self._decode_fn = None
         self._x_tag = "S-" + X_LABEL
         # ACE: fixed embedder-selection mask injected into every batch
@@ -182,10 +190,23 @@ class FinetuneTrainer:
         from ..data import corpus_ops
 
         if config.resample_smooth:
-            return corpus_ops.resample_corpora(
+            records = corpus_ops.resample_corpora(
                 self.corpus, smooth=config.resample_smooth,
                 seed=config.seed + epoch)
-        return self.corpus.train
+        else:
+            records = self.corpus.train
+        if self.stride_windows:
+            # over-budget sentences train as overlapping window chunks
+            from ..data.windows import split_long_record
+
+            records = [
+                chunk
+                for rec in records
+                for chunk, _ in split_long_record(
+                    rec, self.tokenizer, self.stride_max_subtokens,
+                    self.stride_words)
+            ]
+        return records
 
     def _make_train_batches(self, records, config: TrainConfig, epoch: int):
         """Encoded batches; multi-view mode pairs each context batch with
@@ -410,7 +431,14 @@ class FinetuneTrainer:
         batch_size: int = 32,
         out_path: Optional[Path] = None,
     ) -> Tuple[Metric, List[List[str]]]:
-        preds = self.predict(records, batch_size)
+        if self.stride_windows:
+            from ..data.windows import predict_long
+
+            preds = predict_long(
+                self, records, max_subtokens=self.stride_max_subtokens,
+                stride_words=self.stride_words, batch_size=batch_size)
+        else:
+            preds = self.predict(records, batch_size)
         gold = [r.tags[self.tag_layer] for r in records]
         metric = evaluate_spans(gold, preds, ignore_labels=(X_LABEL, "_", "NE"))
         if out_path is not None:

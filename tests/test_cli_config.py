@@ -61,3 +61,47 @@ def test_cli_train_test_parse(tmp_path):
               "--keep_order"])
     out = (parse_dir / "input.conllu").read_text()
     assert "Bob" in out and len(out.splitlines()) > 5
+
+
+def test_cli_train_with_doc_context(tmp_path):
+    """v2_doc end-to-end: `data: {doc_context: true}` routes training AND
+    eval through document windows (VERDICT weak #8 — the feature must be
+    reachable from the CLI, not library-only)."""
+    from kbner_tpu import cli
+
+    p, raw = make_config(tmp_path)
+    raw["data"] = {"doc_context": True, "doc_window_budget": 64}
+    raw["train"]["max_epochs"] = 30
+    p.write_text(yaml.safe_dump(raw))
+    cli.main(["train", "--config", str(p)])
+    run_dir = Path(raw["target_dir"])
+    results = json.loads((run_dir / "test_results.json").read_text())
+    assert results["TOY"]["micro_f1"] > 0.9
+
+    # the corpus the trainer saw really is windowed: neighbor sentences
+    # appear as S-X context tokens around each target sentence
+    cfg = ExperimentConfig.from_file(p)
+    corpus = cfg.prepare_corpus(cfg.load_corpus(), cfg.make_tokenizer())
+    assert any("S-X" in rec.tags["ner"] for rec in corpus.train)
+    assert all(len(rec.tokens) == len(rec.tags["ner"])
+               for rec in corpus.train)
+
+
+def test_cli_train_with_stride_windows(tmp_path):
+    """Over-budget sentences train and evaluate through overlapping
+    window chunks stitched back at eval (embeddings.py:3202-3227)."""
+    from kbner_tpu import cli
+
+    p, raw = make_config(tmp_path)
+    # budget so small that several toy sentences exceed it
+    raw["data"] = {"stride_windows": True, "max_subtokens": 12,
+                   "stride_words": 2}
+    raw["train"]["max_epochs"] = 30
+    p.write_text(yaml.safe_dump(raw))
+    cli.main(["train", "--config", str(p)])
+    run_dir = Path(raw["target_dir"])
+    results = json.loads((run_dir / "test_results.json").read_text())
+    # stitched eval still sees the full original sentences
+    out = (run_dir / "test.TOY.tsv").read_text().strip().split("\n\n")
+    assert len(out) == 8  # one block per ORIGINAL sentence
+    assert results["TOY"]["micro_f1"] > 0.5
