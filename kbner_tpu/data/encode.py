@@ -150,6 +150,51 @@ def encode_batch(
     )
 
 
+def kmeans(x: Sequence[int], k: int, seed: int = 0):
+    """Frequency-weighted 1-D k-means over sentence lengths.
+
+    The parser data loader's length bucketing
+    (``/root/reference/flair/parser/utils/alg.py:10-47`` via
+    ``utils/data.py:48``): Lloyd iterations run on the DISTINCT values
+    weighted by their frequency (exact and fast for 1-D), and an empty
+    cluster is reseeded with the farthest datapoint of the biggest
+    cluster. Returns ``(centroids, clusters)`` where ``clusters[i]``
+    lists the indices of datapoints assigned to centroid i; empty
+    clusters are dropped (reference: ``y.unique()``).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    d, indices, f = np.unique(x, return_inverse=True, return_counts=True)
+    if len(d) < k:
+        raise ValueError(
+            f"unable to assign {len(d)} datapoints to {k} clusters")
+    total = d * f
+    rng = np.random.RandomState(seed)
+    c = d[rng.permutation(len(d))[:k]]
+    old = None
+    dists = np.abs(d[:, None] - c[None, :])
+    y = dists.argmin(axis=1)
+    dmin = dists.min(axis=1)
+    while old is None or not np.array_equal(c, old):
+        for i in range(k):
+            if not np.any(y == i):
+                mask = y[None, :] == np.arange(k)[:, None]
+                biggest = np.nonzero(mask[mask.sum(axis=1).argmax()])[0]
+                farthest = dmin[biggest].argmax()
+                y[biggest[farthest]] = i
+        mask = y[None, :] == np.arange(k)[:, None]  # [k, |d|]
+        old = c
+        c = (total[None, :] * mask).sum(axis=1) / (f[None, :] * mask).sum(
+            axis=1)
+        dists = np.abs(d[:, None] - c[None, :])
+        y = dists.argmin(axis=1)
+        dmin = dists.min(axis=1)
+    y = y[indices]
+    assigned = np.unique(y)
+    centroids = c[assigned].tolist()
+    clusters = [np.nonzero(y == i)[0].tolist() for i in assigned]
+    return centroids, clusters
+
+
 def make_batches(
     records: Sequence[SentenceRecord],
     tokenizer: SubwordTokenizer,
@@ -159,6 +204,7 @@ def make_batches(
     seed: int = 0,
     sort_by_length: bool = True,
     token_budget: int = 0,
+    n_buckets: int = 0,
     **encode_kwargs,
 ) -> List[EncodedBatch]:
     """Length-sorted fixed-size batching.
@@ -172,8 +218,25 @@ def make_batches(
 
     order = list(range(len(records)))
     lengths = None
-    if sort_by_length or token_budget:
+    if sort_by_length or token_budget or n_buckets:
         lengths = [subtoken_length(tokenizer, r.tokens) for r in records]
+    if n_buckets:
+        # kmeans length buckets (parser loader, utils/data.py:48): batches
+        # are drawn within a bucket so padded shapes cluster tightly
+        _, clusters = kmeans(lengths, min(n_buckets, len(set(lengths))),
+                             seed=seed)
+        chunks = [
+            cluster[i:i + batch_size]
+            for cluster in clusters
+            for i in range(0, len(cluster), batch_size)
+        ]
+        if shuffle:
+            np.random.RandomState(seed).shuffle(chunks)
+        return [
+            encode_batch([records[i] for i in chunk], tokenizer, tag_dict,
+                         **encode_kwargs)
+            for chunk in chunks
+        ]
     if sort_by_length:
         order.sort(key=lambda i: lengths[i])
     if token_budget:

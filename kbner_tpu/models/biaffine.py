@@ -38,6 +38,11 @@ class BiaffineConfig:
     arc_dim: int = 256
     rel_dim: int = 64
     dropout: float = 0.1
+    # arc loss: "ce" (head classification, the reference's default) or
+    # "crf" (first-order projective tree CRF, reference ``alg.py:92``);
+    # ``partial`` marginalizes unannotated heads (< 0) under "crf"
+    arc_loss: str = "ce"
+    partial: bool = False
 
 
 class Biaffine(nn.Module):
@@ -113,43 +118,79 @@ class BiaffineParser(nn.Module):
 
     def loss(self, batch: Dict[str, jnp.ndarray],
              deterministic: bool = False) -> jnp.ndarray:
-        """Masked CE over heads + CE over rels at gold heads.
+        """Arc loss + CE over rels at gold heads.
 
         batch needs ``heads`` [B, W] (0 = ROOT) and ``rel_ids`` [B, W].
+        Arc loss is per-config: masked head CE (reference default) or the
+        projective tree CRF NLL (``ops/tree_crf.py``; with
+        ``cfg.partial``, heads < 0 are marginalized, ``alg.py:105-110``).
         """
         s_arc, s_rel = self.scores(batch, deterministic)
         mask = batch["word_mask"].astype(jnp.float32)  # [B, W]
         B, W = mask.shape
-        # dependents are positions 1..W of the padded grid
-        arc_logits = s_arc[:, 1:, :]  # [B, W, W+1]
-        # heads beyond real words are invalid (but ROOT=0 always valid)
+        gold_heads = batch["heads"]  # [B, W]
         head_valid = jnp.concatenate(
             [jnp.ones((B, 1)), mask], axis=1)  # [B, W+1]
-        arc_logits = jnp.where(
-            head_valid[:, None, :] > 0, arc_logits, -1e9)
-        logp_arc = jax.nn.log_softmax(arc_logits, axis=-1)
-        gold_heads = batch["heads"]  # [B, W]
-        arc_ll = jnp.take_along_axis(
-            logp_arc, gold_heads[:, :, None], axis=2)[..., 0]
+        if self.config.arc_loss == "crf":
+            from ..ops.tree_crf import tree_crf_loss
+
+            nll = tree_crf_loss(
+                s_arc, batch["word_mask"], gold_heads,
+                partial=self.config.partial)  # [B]
+            # spread the per-sentence NLL so the shared word-count
+            # normalization below applies (rel CE stays per-word)
+            arc_ll = -(nll[:, None] / jnp.maximum(
+                mask.sum(axis=1, keepdims=True), 1.0)) * mask
+        else:
+            # dependents are positions 1..W of the padded grid;
+            # heads beyond real words are invalid (ROOT=0 always valid)
+            arc_logits = jnp.where(
+                head_valid[:, None, :] > 0, s_arc[:, 1:, :], -1e9)
+            logp_arc = jax.nn.log_softmax(arc_logits, axis=-1)
+            arc_ll = jnp.take_along_axis(
+                logp_arc, jnp.maximum(gold_heads, 0)[:, :, None],
+                axis=2)[..., 0]
 
         rel_logits = s_rel[:, 1:, :, :]  # [B, W, W+1, R]
         rel_at_gold = jnp.take_along_axis(
             rel_logits,
-            gold_heads[:, :, None, None].repeat(rel_logits.shape[-1], -1),
+            jnp.maximum(gold_heads, 0)[:, :, None, None].repeat(
+                rel_logits.shape[-1], -1),
             axis=2)[:, :, 0]  # [B, W, R]
         logp_rel = jax.nn.log_softmax(rel_at_gold, axis=-1)
         rel_ll = jnp.take_along_axis(
             logp_rel, batch["rel_ids"][:, :, None], axis=2)[..., 0]
+        # unannotated heads (< 0, partial mode) carry no rel supervision
+        rel_ll = jnp.where(gold_heads >= 0, rel_ll, 0.0)
 
         denom = jnp.maximum(mask.sum(), 1.0)
         return -(jnp.sum((arc_ll + rel_ll) * mask)) / denom
 
+    def marginals(self, batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        """Arc marginals P(h -> d) [B, W+1, W+1] under the projective tree
+        CRF — the reference decodes from these when its ``tree`` flag is on
+        (``crf``'s autograd marginals, ``alg.py:101-104``)."""
+        from ..ops.tree_crf import tree_crf_marginals
+
+        s_arc, _ = self.scores(batch, deterministic=True)
+        return tree_crf_marginals(s_arc, batch["word_mask"])
+
     def decode(self, batch: Dict[str, jnp.ndarray]
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Greedy heads + rels (host MST repair is a separate step)."""
+        """Greedy heads + rels (host MST repair is a separate step).
+
+        Under ``arc_loss='crf'`` heads come from the tree-CRF marginals
+        (MBR per-word decode, the reference's probs-based decoding): raw
+        ``s_arc`` diagonals/self-loops are unconstrained by the tree loss,
+        so greedy argmax over them is meaningless there.
+        """
         s_arc, s_rel = self.scores(batch, deterministic=True)
         mask = batch["word_mask"]
         B, W = mask.shape
+        if self.config.arc_loss == "crf":
+            from ..ops.tree_crf import tree_crf_marginals
+
+            s_arc = tree_crf_marginals(s_arc, mask)
         head_valid = jnp.concatenate(
             [jnp.ones((B, 1), mask.dtype), mask], axis=1)
         arc_logits = jnp.where(

@@ -13,6 +13,11 @@ from .bm25 import (
     bm25_topk,
     merge_topk,
 )
+from .tree_crf import (
+    tree_crf_inside,
+    tree_crf_loss,
+    tree_crf_marginals,
+)
 from .losses import (
     distillation_loss,
     feature_l2_loss,
@@ -33,6 +38,9 @@ __all__ = [
     "bm25_pruned_topk",
     "bm25_pruned_topk_rows",
     "merge_topk",
+    "tree_crf_inside",
+    "tree_crf_loss",
+    "tree_crf_marginals",
     "distillation_loss",
     "posterior_distillation_loss",
     "multi_view_loss",

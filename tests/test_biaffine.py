@@ -86,6 +86,74 @@ def test_parser_loss_and_overfit():
         assert heads[b, : len(toks)].tolist() == gold_heads
 
 
+def test_parser_tree_crf_loss_overfit_and_marginals():
+    """arc_loss='crf' (projective tree CRF NLL) trains to the gold trees,
+    and marginals are a proper head distribution per word."""
+    eb, arrays, rel_dict = make_dep_batch()
+    cfg = BiaffineConfig(
+        encoder=XLMRConfig.tiny(vocab_size=1000), num_rels=len(rel_dict),
+        arc_dim=32, rel_dim=16, arc_loss="crf")
+    model = BiaffineParser(cfg)
+    params = model.init({"params": jax.random.PRNGKey(0)}, arrays,
+                        method=model.loss)
+    tx = optax.adam(5e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(p, o):
+        loss, g = jax.value_and_grad(
+            lambda pp: model.apply(pp, arrays, deterministic=True,
+                                   method=model.loss))(p)
+        u, o = tx.update(g, o)
+        return optax.apply_updates(p, u), o, loss
+
+    losses = []
+    for _ in range(150):
+        params, opt, loss = step(params, opt)
+        losses.append(float(loss))
+    assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0] * 0.3
+
+    heads, _ = model.apply(params, arrays, method=model.decode)
+    heads = np.asarray(heads)
+    for b, (toks, gold_heads, _) in enumerate(DEP_DATA):
+        assert heads[b, : len(toks)].tolist() == gold_heads
+
+    marg = np.asarray(model.apply(params, arrays, method=model.marginals))
+    wm = np.asarray(eb.word_mask)
+    for b in range(wm.shape[0]):
+        L = int(wm[b].sum())
+        np.testing.assert_allclose(
+            marg[b, 1: L + 1].sum(axis=1), 1.0, atol=1e-3)
+        # trained model concentrates mass on the gold arcs
+        assert marg[b, 1: L + 1].argmax(axis=1).tolist() == DEP_DATA[b][1]
+
+
+def test_parser_partial_annotation_loss():
+    """partial=True marginalizes words with head < 0 instead of scoring
+    them (reference crf partial branch)."""
+    eb, arrays, rel_dict = make_dep_batch()
+    heads = np.asarray(arrays["heads"]).copy()
+    heads[:, 0] = -1  # first word unannotated everywhere
+    rel_ids = np.asarray(arrays["rel_ids"]).copy()
+    arrays = dict(arrays)
+    arrays["heads"] = jnp.asarray(heads)
+    arrays["rel_ids"] = jnp.asarray(rel_ids)
+    cfg = BiaffineConfig(
+        encoder=XLMRConfig.tiny(vocab_size=1000), num_rels=len(rel_dict),
+        arc_dim=32, rel_dim=16, arc_loss="crf", partial=True)
+    model = BiaffineParser(cfg)
+    params = model.init({"params": jax.random.PRNGKey(0)}, arrays,
+                        method=model.loss)
+    loss = float(model.apply(params, arrays, deterministic=True,
+                             method=model.loss))
+    assert np.isfinite(loss) and loss > -1e-4
+    g = jax.grad(lambda p: model.apply(
+        p, arrays, deterministic=True, method=model.loss))(params)
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in flat)
+
+
 def test_chu_liu_edmonds_breaks_cycles():
     # greedy argmax creates a 1<->2 cycle; MST must break it
     s = np.full((3, 3), -1e9)
