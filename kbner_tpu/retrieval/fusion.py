@@ -10,12 +10,14 @@ Context granularities (``README.md`` Wiki-Para / Wiki-Sent_link / Wiki-Sent):
 
   - ``paragraph``      : the matched paragraph (default ``desc`` mode),
   - ``sentence_link``  : ``[ title ] sentence`` (``--use_sentence``),
-  - ``sentence``       : the matched sentence recovered inside the anchored
-                         paragraph (``--use_paragraph_entity``,
-                         ``match_origin_paragraph`` :153-184). Here the
-                         store's sentence field already carries anchor markup
-                         when the KB was parsed with anchors, so this mode
-                         reduces to using the sentence text.
+  - ``sentence``       : the matched sentence recovered WITH its wiki-anchor
+                         markup from inside the anchored paragraph
+                         (``--use_paragraph_entity``,
+                         ``match_origin_paragraph`` :153-184). Self-built KBs
+                         store anchored sentences directly; reference-schema
+                         retrieval files (``README.md:248-272``) carry a
+                         plain sentence + anchored paragraph, so the markup
+                         is re-projected here (:func:`match_origin_paragraph`).
 
 Train sentences whose *original* part already exceeds the budget are dropped
 (``write_file`` max_len, ``:90-102``); dev/test sentences are kept and simply
@@ -24,6 +26,7 @@ get no context.
 
 from __future__ import annotations
 
+import re
 from typing import List, Literal, Sequence
 
 from ..data.conll import EOS_MARKER, SentenceRecord
@@ -32,6 +35,43 @@ from .engine import RetrievedDoc
 
 ContextMode = Literal["paragraph", "sentence_link", "sentence"]
 X_TAG = "B-X"
+
+_ANCHOR_RE = re.compile(r"<e:[^>]*>|</e>")
+
+
+def match_origin_paragraph(sentence: str, paragraph: str) -> str:
+    """Recover a plain sentence's wiki-anchor markup from its paragraph.
+
+    Reference-schema retrieval rows store the matched sentence WITHOUT
+    anchors next to the paragraph WITH ``<e:Title>surface</e>`` markup
+    (``README.md:248-272``); Wiki-Sent mode re-projects the markup onto
+    the sentence (``context_process.py:153-184`` semantics): locate the
+    sentence in the anchor-stripped paragraph, then map that span back to
+    anchored coordinates — tags strictly before the span shift its start,
+    tags starting inside it (including exactly at its start) extend it,
+    and the walk stops at the first tag at/after the span end (so a tag
+    whose opening lands exactly at the span end is NOT absorbed, matching
+    the reference's boundary conditions). Falls back to the plain
+    sentence when it isn't found or the round-trip check fails.
+    """
+    stripped = _ANCHOR_RE.sub("", paragraph)
+    pos = stripped.find(sentence)
+    if pos < 0:
+        return sentence
+    start, length = pos, len(sentence)
+    removed = 0  # markup chars preceding the current tag
+    for m in _ANCHOR_RE.finditer(paragraph):
+        tag_len = m.end() - m.start()
+        plain_pos = m.start() - removed  # tag position in stripped coords
+        if plain_pos < pos:
+            start += tag_len
+        elif plain_pos < pos + len(sentence):
+            length += tag_len
+        else:
+            break
+        removed += tag_len
+    out = paragraph[start:start + length]
+    return out if _ANCHOR_RE.sub("", out) == sentence else sentence
 
 
 def context_tokens(doc: RetrievedDoc, mode: ContextMode) -> List[str]:
@@ -42,6 +82,10 @@ def context_tokens(doc: RetrievedDoc, mode: ContextMode) -> List[str]:
         text = f"[ {title} ] {doc.sentence}" if title else doc.sentence
     elif mode == "sentence":
         text = doc.sentence
+        # reference-schema rows: plain sentence + anchored paragraph
+        if ("<e:" not in text and doc.paragraph
+                and "<e:" in doc.paragraph):
+            text = match_origin_paragraph(text, doc.paragraph)
     else:
         raise ValueError(f"unknown context mode {mode!r}")
     return text.split()
