@@ -18,7 +18,11 @@ from kbner_tpu.models.ensemble_model import (
     encode_system_predictions,
 )
 from kbner_tpu.train import FinetuneTrainer, TrainConfig
-from kbner_tpu.train.param_search import SearchSpace, random_search
+from kbner_tpu.train.param_search import (
+    SearchSpace,
+    random_search,
+    tpe_search,
+)
 from kbner_tpu.utils import plot_training_curves
 
 FIX = Path(__file__).parent / "fixtures"
@@ -93,6 +97,31 @@ def test_random_search():
     result = random_search(space, run_trial, n_trials=12, seed=1)
     assert abs(np.log10(result["best_params"]["lr"]) + 2.0) < 0.7
     assert len(result["trials"]) == 12
+
+
+def test_tpe_search_converges_and_beats_random_budget():
+    space = SearchSpace(
+        choices={"scheme": ["bad", "good"]},
+        uniform={"x": (0.0, 1.0)},
+        log_uniform={"lr": (1e-4, 1e-1)},
+    )
+
+    # smooth objective: best at scheme=good, x=0.7, lr=1e-2
+    def run_trial(p):
+        return (-abs(np.log10(p["lr"]) + 2.0)
+                - 3.0 * (p["x"] - 0.7) ** 2
+                + (1.0 if p["scheme"] == "good" else 0.0))
+
+    result = tpe_search(space, run_trial, n_trials=30, n_startup=6, seed=3)
+    best = result["best_params"]
+    assert best["scheme"] == "good"
+    assert abs(best["x"] - 0.7) < 0.15
+    assert abs(np.log10(best["lr"]) + 2.0) < 0.5
+    assert len(result["trials"]) == 30
+    # later (guided) trials concentrate near the optimum vs the startup ones
+    late = [t["score"] for t in result["trials"][-10:]]
+    early = [t["score"] for t in result["trials"][:6]]
+    assert np.mean(late) > np.mean(early)
 
 
 def test_swaf_ensemble_learns_system_reliability():
