@@ -124,11 +124,21 @@ def bench_train_step(on_tpu: bool) -> dict:
         params, opt_state, loss = step(params, opt_state, batch, key)
         float(loss)
     dt = (time.perf_counter() - t0) / n_steps
-    return {
+
+    # MFU: fwd+bwd ~ 6 * params * tokens matmul FLOPs (remat adds one
+    # extra forward: 8x instead of 6x) vs the v5e bf16 peak (197 TFLOP/s)
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(params))
+    flops = (8 if enc.remat else 6) * n_params * B * S
+    peak = 197e12 if on_tpu else None
+    out = {
         "train_step_ms": round(dt * 1000.0, 2),
         "train_subtok_per_s": round(B * S / dt, 1),
         "train_shape": f"B{B}xS{S} xlmr-{'base-bf16-remat' if on_tpu else 'tiny'}",
     }
+    if peak:
+        out["train_mfu"] = round(flops / dt / peak, 3)
+    return out
 
 
 def bench_retrieval(on_tpu: bool) -> dict:

@@ -115,6 +115,72 @@ def test_mfvi_head_overfits():
     assert decoded.shape == (B, T)
 
 
+def test_ternary_messages_match_dense_einsums():
+    """The rank-space third-order messages equal the reference's dense
+    [B,T-2,K,K,K] einsums (variational_inference.py:234-239)."""
+    from kbner_tpu.ops.mfvi import (
+        HexalinearPotentials, dense_ternary, ternary_messages)
+
+    rng = np.random.RandomState(1)
+    B, T, K, H, R = 2, 7, 3, 5, 6
+    feats = jnp.asarray(rng.randn(B, T, H).astype(np.float32))
+    q = jax.nn.softmax(
+        jnp.asarray(rng.randn(B, T, K).astype(np.float32)), -1)
+    mask = np.ones((B, T), np.float32)
+    mask[1, 5:] = 0.0
+    triple_mask = jnp.asarray(mask[:, :-2] * mask[:, 1:-1] * mask[:, 2:])
+
+    mod = HexalinearPotentials(num_tags=K, rank=R)
+    params = mod.init(jax.random.PRNGKey(0), feats)
+    factors = mod.apply(params, feats)
+
+    fast = np.asarray(ternary_messages(q, factors, triple_mask))
+
+    tern = np.asarray(dense_ternary(factors)) * np.asarray(
+        triple_mask)[:, :, None, None, None]
+    qn = np.asarray(q)
+    want = np.zeros_like(np.asarray(q))
+    want[:, 2:] += np.einsum("nsa,nsb,nsabc->nsc", qn[:, :-2], qn[:, 1:-1],
+                             tern)
+    want[:, 1:-1] += np.einsum("nsa,nsc,nsabc->nsb", qn[:, :-2], qn[:, 2:],
+                               tern)
+    want[:, :-2] += np.einsum("nsb,nsc,nsabc->nsa", qn[:, 1:-1], qn[:, 2:],
+                              tern)
+    np.testing.assert_allclose(fast, want, atol=1e-5)
+
+
+def test_mfvi_third_order_head_overfits():
+    rng = np.random.RandomState(0)
+    B, T, K, H = 4, 6, 4, 8
+    feats = jnp.asarray(rng.randn(B, T, H).astype(np.float32))
+    unary = jnp.asarray(rng.randn(B, T, K).astype(np.float32) * 0.1)
+    tags = jnp.asarray(rng.randint(0, K, (B, T)).astype(np.int32))
+    mask = jnp.ones((B, T), jnp.int32)
+    head = MFVIHead(num_tags=K, rank=8, iterations=2, use_third_order=True)
+    params = head.init({"params": jax.random.PRNGKey(0)}, feats, unary,
+                       tags, mask, method=head.loss)
+    # the triple-product parameterization oscillates at the 2nd-order
+    # test's 5e-2; 1e-2 converges to ~0
+    tx = optax.adam(1e-2)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(p, o):
+        l, g = jax.value_and_grad(lambda pp: head.apply(
+            pp, feats, unary, tags, mask, method=head.loss))(p)
+        u, o = tx.update(g, o)
+        return optax.apply_updates(p, u), o, l
+
+    losses = []
+    for _ in range(120):
+        params, opt, loss = step(params, opt)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.1
+    assert "ternary" in params["params"]
+    decoded = head.apply(params, feats, unary, mask, method=head.decode)
+    assert decoded.shape == (B, T)
+
+
 # -- text classification ----------------------------------------------------------
 
 def test_fasttext_reader(tmp_path):
