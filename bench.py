@@ -41,7 +41,7 @@ SMOKE = bool(int(os.environ.get("BENCH_SMOKE", "0")))
 N_DOCS = int(os.environ.get(
     "BENCH_NDOCS", str(1 << 15 if SMOKE else 1 << 22)))
 VOCAB = 20_000 if SMOKE else 1_000_000
-Q_BATCH = 256
+Q_BATCH = 512  # throughput sweet spot on v5e (256: -18%, 1024: -4%)
 K = 10
 N_ITER = 10
 BASELINE_PER_CHIP = 10000.0 / 8.0
@@ -160,10 +160,12 @@ def bench_retrieval(on_tpu: bool) -> dict:
     log(f"[bench] build_encoded: {build_s:.1f}s "
         f"({N_DOCS / build_s:.0f} docs/s), Ld={index.doc_terms.shape[1]}")
 
+    # knobs from the r2 sweep at 4.19M docs: C=2048 lifts recall@10 to
+    # 0.991 (C=512: 0.984); M=16/budget-8192 slightly beat 12/4096
     t0 = time.perf_counter()
     engine = RetrievalEngine(
-        index, mode="pruned", use_pallas=on_tpu, rare_terms=12,
-        posting_budget=4096, n_candidates=512)
+        index, mode="pruned", use_pallas=on_tpu, rare_terms=16,
+        posting_budget=8192, n_candidates=2048)
     # force CSR + upload completion
     jax.block_until_ready(engine._device_csr)
     upload_s = time.perf_counter() - t0

@@ -19,20 +19,31 @@ import numpy as np
 _DIR = Path(__file__).parent
 _SO = _DIR / "libpostings.so"
 _LIB: Optional[ctypes.CDLL] = None
+_SO_ANALYZER = _DIR / "libanalyzer.so"
+_LIB_ANALYZER: Optional[ctypes.CDLL] = None
 
 
-def build_library(force: bool = False) -> bool:
-    """Compile libpostings.so with g++; returns True on success."""
-    if _SO.exists() and not force:
+def _compile(src_name: str, so_path: Path, force: bool) -> bool:
+    if so_path.exists() and not force:
         return True
-    src = _DIR / "postings.cc"
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", str(src), "-o", str(_SO)],
+            ["g++", "-O3", "-shared", "-fPIC", str(_DIR / src_name),
+             "-o", str(so_path)],
             check=True, capture_output=True)
         return True
     except (subprocess.CalledProcessError, FileNotFoundError):
         return False
+
+
+def build_library(force: bool = False) -> bool:
+    """Compile libpostings.so with g++; returns True on success."""
+    return _compile("postings.cc", _SO, force)
+
+
+def build_analyzer_library(force: bool = False) -> bool:
+    """Compile libanalyzer.so with g++; returns True on success."""
+    return _compile("analyzer.cc", _SO_ANALYZER, force)
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -107,3 +118,136 @@ def gather_postings(
             out_imp[q, used:used + n] = postings_imp[lo:lo + n]
             used += n
     return out_doc, out_imp
+
+
+# -- native batch analyzer -------------------------------------------------------
+
+_UNI_MAX = 0x110000
+_TABLE_VERSION = 1  # bump when analyzer.py's classification changes
+_TABLES = None  # (wb_class uint8 [0x110000], lower_map uint32 [0x110000])
+_LOWER_SENTINEL = np.uint32(0xFFFFFFFF)
+
+
+def _analyzer_tables():
+    """Unicode tables for the native analyzer, GENERATED from the Python
+    classifier (``retrieval/analyzer.py::_wb_class``) so native and Python
+    tokenization cannot drift. Cached on disk (~5.5 MB) because the
+    generation walks all 1.1M codepoints (~2s)."""
+    global _TABLES
+    if _TABLES is not None:
+        return _TABLES
+    cache = _DIR / "uax29_tables.npz"
+    if cache.exists():
+        try:
+            z = np.load(cache)
+            if int(z["version"]) == _TABLE_VERSION:
+                _TABLES = (np.ascontiguousarray(z["wb"], np.uint8),
+                           np.ascontiguousarray(z["lower"], np.uint32))
+                return _TABLES
+        except Exception:
+            pass
+    from ..retrieval.analyzer import _wb_class
+
+    wb = np.zeros(_UNI_MAX, np.uint8)
+    lower = np.arange(_UNI_MAX, dtype=np.uint32)
+    for cp in range(_UNI_MAX):
+        ch = chr(cp)
+        wb[cp] = _wb_class(ch)
+        lc = ch.lower()
+        if len(lc) != 1 or cp == 0x3A3:
+            # multi-char lowering (e.g. İ) or context-sensitive (final
+            # sigma): native flags the token; Python re-lowers it
+            lower[cp] = _LOWER_SENTINEL
+        else:
+            lower[cp] = ord(lc)
+    _TABLES = (wb, lower)
+    try:
+        np.savez_compressed(cache, version=_TABLE_VERSION, wb=wb,
+                            lower=lower)
+    except OSError:
+        pass
+    return _TABLES
+
+
+def _load_analyzer() -> Optional[ctypes.CDLL]:
+    global _LIB_ANALYZER
+    if _LIB_ANALYZER is not None:
+        return _LIB_ANALYZER
+    if not _SO_ANALYZER.exists() and not build_analyzer_library():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_SO_ANALYZER))
+    except OSError:
+        return None
+    lib.analyze_batch.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.analyze_batch.restype = ctypes.c_int64
+    _LIB_ANALYZER = lib
+    return lib
+
+
+def analyze_docs(docs, mode: str = "standard"):
+    """Batch UAX#29 tokenization + lowercase in native code.
+
+    Token-exact with ``retrieval/analyzer.py``'s ``standard_analyze``
+    (``mode="cjk"``: ``cjk_analyze``'s Han-bigram variant) — the per-doc
+    Python loop is the ingest bottleneck of collection-scale index builds.
+    Returns a list of token lists, or None when the native library is
+    unavailable (callers fall back to the Python analyzer).
+    """
+    lib = _load_analyzer()
+    if lib is None:
+        return None
+    wb, lower = _analyzer_tables()
+    enc = [d.encode("utf-8") for d in docs]
+    offsets = np.zeros(len(enc) + 1, np.int64)
+    np.cumsum([len(e) for e in enc], out=offsets[1:])
+    blob = b"".join(enc)
+    n_bytes = len(blob)
+    # token bytes <= ~input bytes (lowercase can grow a cp by 1 UTF-8
+    # byte); cjk bigrams re-emit each Han char once more; +1 NUL per token
+    out_cap = 4 * n_bytes + 64
+    tok_cap = 2 * n_bytes + 8
+    out_text = np.empty(out_cap, np.uint8)
+    tok_offsets = np.zeros(tok_cap + 1, np.int64)
+    tok_doc = np.empty(tok_cap, np.int64)
+    tok_flags = np.empty(tok_cap, np.uint8)
+    out_len = ctypes.c_int64(0)
+    n_tok = lib.analyze_batch(
+        blob, n_bytes,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(enc),
+        wb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        lower.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        1 if mode == "cjk" else 0,
+        out_text.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out_cap,
+        tok_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        tok_doc.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        tok_flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        tok_cap, ctypes.byref(out_len),
+    )
+    if n_tok < 0:
+        return None  # capacity exceeded (shouldn't happen; bounds above)
+    # bulk decode: every token is NUL-terminated, and NUL can never occur
+    # inside a token (class OTHER breaks it) — one decode + one split
+    # instead of a per-token Python loop
+    toks = out_text[: out_len.value].tobytes().decode("utf-8").split("\x00")
+    # re-lower the flagged tokens (multi-char / context-sensitive casing)
+    for i in np.nonzero(tok_flags[:n_tok])[0]:
+        toks[i] = toks[i].lower()
+    # group by doc: tok_doc is non-decreasing
+    counts = np.bincount(tok_doc[:n_tok], minlength=len(enc))
+    out = []
+    pos = 0
+    for c in counts:
+        out.append(toks[pos: pos + int(c)])
+        pos += int(c)
+    return out

@@ -150,10 +150,13 @@ class RetrievalEngine:
             di = np.pad(idx.doc_impacts,
                         ((0, n_padded - idx.doc_impacts.shape[0]), (0, 0)))
             if self.mode == "pruned":
+                # pack term ids + float-bitcast impacts into ONE int32
+                # [N, 2, Ld] array: pass-2 then fetches each candidate
+                # row with a single gather (TPU gather cost ~ #rows)
+                packed = np.stack([dt, di.view(np.int32)], axis=1)
                 if self.mesh is None:
                     # doc-major rows for pass-2 rescoring gathers
-                    self._device_rows[name] = (jnp.asarray(dt),
-                                               jnp.asarray(di))
+                    self._device_rows[name] = (jnp.asarray(packed),)
                     if name == "text":
                         # row-blocked impact-ordered CSR postings resident
                         # in HBM: per-query traffic is just the [Q, M]
@@ -166,16 +169,14 @@ class RetrievalEngine:
                             jnp.asarray(pi_rows),
                         )
                 else:
-                    # sharded pruned: rows stacked [S, shard, Ld] over
-                    # 'data'; each shard gets a local CSR over its slice
+                    # sharded pruned: packed rows stacked [S, shard, 2, Ld]
+                    # over 'data'; each shard gets a local CSR on its slice
                     S, ss = self.n_shards, self._shard_size
                     rows_sharding = NamedSharding(
-                        self.mesh, P(DATA_AXIS, None, None))
+                        self.mesh, P(DATA_AXIS, None, None, None))
                     self._device_rows[name] = (
                         jax.device_put(
-                            dt.reshape(S, ss, -1), rows_sharding),
-                        jax.device_put(
-                            di.reshape(S, ss, -1), rows_sharding),
+                            packed.reshape(S, ss, 2, -1), rows_sharding),
                     )
                     if name == "text":
                         self._device_csr = self._build_shard_csr(dt, di)
@@ -360,7 +361,7 @@ class RetrievalEngine:
         def shard_fn(rare_s, off_s, pd_s, pi_s, fields_s):
             shard_idx = jax.lax.axis_index(DATA_AXIS)
             local_fields = tuple(
-                (qt, qw, dtt[0], dit[0]) for (qt, qw, dtt, dit) in fields_s)
+                (qt, qw, packed[0]) for (qt, qw, packed) in fields_s)
             s_scores, s_ids = bm25_pruned_topk_rows(
                 rare_s, off_s[0], pd_s[0], pi_s[0], local_fields,
                 n_real_docs=shard_size, k=k, n_candidates=n_cand,
@@ -375,8 +376,7 @@ class RetrievalEngine:
             top_ids = jnp.take_along_axis(i, idx, axis=1)
             return top_scores, top_ids
 
-        field_spec = (P(), P(), P(DATA_AXIS, None, None),
-                      P(DATA_AXIS, None, None))
+        field_spec = (P(), P(), P(DATA_AXIS, None, None, None))
         run = jax.jit(jax.shard_map(
             shard_fn,
             mesh=mesh,

@@ -175,7 +175,18 @@ class BM25Index:
         device blocking; padding rows have no terms and never match.
         """
         params = params or BM25Params()
-        analyzed = [analyzer(doc) for doc in docs]
+        analyzed = None
+        # batch the analysis through the native UAX#29 segmenter when the
+        # analyzer is one of ours (token-exact; ~50x the Python loop —
+        # the ingest bottleneck at collection scale)
+        from .analyzer import cjk_analyze
+        if analyzer in (standard_analyze, cjk_analyze) and len(docs) > 256:
+            from ..native import analyze_docs
+            analyzed = analyze_docs(
+                list(docs),
+                mode="cjk" if analyzer is cjk_analyze else "standard")
+        if analyzed is None:
+            analyzed = [analyzer(doc) for doc in docs]
         n_docs = len(docs)
         doc_lens = np.fromiter(
             (len(t) for t in analyzed), np.int64, count=n_docs)
