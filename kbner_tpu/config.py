@@ -80,19 +80,32 @@ class ExperimentConfig:
 
     @classmethod
     def from_dict(cls, raw: Dict[str, Any]) -> "ExperimentConfig":
-        corpora = [
-            CorpusSpec(
+        corpora = []
+        for c in raw["corpora"]:
+            if "column_format" not in c:
+                # named corpus: resolve format/files from the registry
+                # (the reference's datasets.py zoo, minus downloads)
+                from .data.corpora import corpus_spec
+
+                overrides = {
+                    k: v for k, v in c.items()
+                    if k in ("data_folder", "train_file", "dev_file",
+                             "test_file", "comment_symbol", "tag_to_bioes")
+                }
+                corpora.append(corpus_spec(
+                    c["name"], c.get("data_root", "."), **overrides))
+                continue
+            corpora.append(CorpusSpec(
                 name=c["name"],
                 data_folder=c["data_folder"],
-                column_format={int(k): v for k, v in c["column_format"].items()},
+                column_format={int(k): v
+                               for k, v in c["column_format"].items()},
                 comment_symbol=c.get("comment_symbol"),
                 train_file=c.get("train_file", "train.txt"),
                 dev_file=c.get("dev_file", "dev.txt"),
                 test_file=c.get("test_file", "test.txt"),
                 tag_to_bioes=c.get("tag_to_bioes", "ner"),
-            )
-            for c in raw["corpora"]
-        ]
+            ))
         return cls(
             name=raw.get("name", "experiment"),
             corpora=corpora,

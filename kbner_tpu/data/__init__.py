@@ -16,8 +16,10 @@ from .encode import (
     build_char_vocab,
     build_word_vocab,
     encode_batch,
+    kmeans,
     make_batches,
 )
+from .corpora import CORPUS_REGISTRY, corpus_spec
 from .conll import read_fasttext_file
 from .doc_context import make_doc_context_records, strip_doc_context
 from .tag_schemes import (

@@ -41,6 +41,35 @@ def test_config_parsing(tmp_path):
     assert tc.batch_size == 4
 
 
+def test_named_corpus_registry(tmp_path):
+    """Registry names resolve to the reference's column formats; a config
+    corpus block without column_format goes through the registry."""
+    from kbner_tpu.data.corpora import CORPUS_REGISTRY, corpus_spec
+
+    spec = corpus_spec("CONLL_03", "/data")
+    assert spec.column_format == {0: "text", 1: "pos", 2: "chunk", 3: "ner"}
+    assert spec.train_file == "eng.train"
+    assert spec.data_folder == "/data/conll_03"
+    assert CORPUS_REGISTRY["EN-English"].comment_symbol == "# id"
+    with pytest.raises(KeyError):
+        corpus_spec("NO_SUCH_CORPUS", "/data")
+
+    # a named block loads the toy fixture end to end via overrides
+    cfg = ExperimentConfig.from_dict({
+        "name": "reg",
+        "corpora": [{
+            "name": "CONLL_03_SPANISH",  # {0: text, 1: ner} = toy layout
+            "data_folder": str(FIX / "ner_toy"),
+            "train_file": "train.txt", "dev_file": "dev.txt",
+            "test_file": "test.txt",
+            "comment_symbol": "# id",
+        }],
+    })
+    corpus = cfg.load_corpus()
+    assert len(corpus.train) == 8
+    assert corpus.train[0].tags["ner"][0] in ("B-PER", "S-PER")
+
+
 def test_cli_train_test_parse(tmp_path):
     from kbner_tpu import cli
 
