@@ -150,13 +150,14 @@ class RetrievalEngine:
             di = np.pad(idx.doc_impacts,
                         ((0, n_padded - idx.doc_impacts.shape[0]), (0, 0)))
             if self.mode == "pruned":
-                # pack term ids + float-bitcast impacts into ONE int32
-                # [N, 2, Ld] array: pass-2 then fetches each candidate
-                # row with a single gather (TPU gather cost ~ #rows)
-                packed = np.stack([dt, di.view(np.int32)], axis=1)
+                # NB: a packed [N, 2, Ld] single-gather layout was measured
+                # ~40% SLOWER than two [N, Ld] gathers on v5e (the (2, Ld)
+                # slice spans two lane-tiles per row); keep the two-array
+                # layout (the kernel accepts either)
                 if self.mesh is None:
                     # doc-major rows for pass-2 rescoring gathers
-                    self._device_rows[name] = (jnp.asarray(packed),)
+                    self._device_rows[name] = (jnp.asarray(dt),
+                                               jnp.asarray(di))
                     if name == "text":
                         # row-blocked impact-ordered CSR postings resident
                         # in HBM: per-query traffic is just the [Q, M]
@@ -169,14 +170,16 @@ class RetrievalEngine:
                             jnp.asarray(pi_rows),
                         )
                 else:
-                    # sharded pruned: packed rows stacked [S, shard, 2, Ld]
-                    # over 'data'; each shard gets a local CSR on its slice
+                    # sharded pruned: rows stacked [S, shard, Ld] over
+                    # 'data'; each shard gets a local CSR over its slice
                     S, ss = self.n_shards, self._shard_size
                     rows_sharding = NamedSharding(
-                        self.mesh, P(DATA_AXIS, None, None, None))
+                        self.mesh, P(DATA_AXIS, None, None))
                     self._device_rows[name] = (
                         jax.device_put(
-                            packed.reshape(S, ss, 2, -1), rows_sharding),
+                            dt.reshape(S, ss, -1), rows_sharding),
+                        jax.device_put(
+                            di.reshape(S, ss, -1), rows_sharding),
                     )
                     if name == "text":
                         self._device_csr = self._build_shard_csr(dt, di)
@@ -304,66 +307,117 @@ class RetrievalEngine:
         rare[picked_df == np.iinfo(np.int64).max] = -1
         return rare
 
-    def _search_pruned(
-        self, q_terms, q_weights, k, title_terms, title_weights,
-    ) -> Tuple[np.ndarray, np.ndarray]:
-        from ..ops.bm25 import bm25_pruned_topk_rows
-
+    def _pack_queries(self, q_terms, q_weights, extra_fields
+                      ) -> Tuple[np.ndarray, Tuple[int, ...]]:
+        """ONE host->device array per query batch: [Q, M + sum 2*Lq_f]
+        int32 carrying the rare-term ids, then each field's term ids and
+        float-bitcast weights. Under the remote-execution tunnel every
+        transfer costs a ~30 ms round trip, which dominated the pruned
+        path (measured: a no-op dispatch is as expensive as the whole
+        device-side search); packing makes it a single upload."""
         rare = self._select_rare_terms(q_terms)
-        fields = [(
-            jnp.asarray(q_terms), jnp.asarray(q_weights),
-            *self._device_rows["text"],
-        )]
+        segs = [rare.astype(np.int32),
+                np.ascontiguousarray(q_terms, np.int32),
+                np.ascontiguousarray(q_weights, np.float32).view(np.int32)]
+        lqs = [q_terms.shape[1]]
+        for (ft, fw) in extra_fields:
+            segs.append(np.ascontiguousarray(ft, np.int32))
+            segs.append(np.ascontiguousarray(fw, np.float32).view(np.int32))
+            lqs.append(ft.shape[1])
+        return np.concatenate(segs, axis=1), tuple(lqs)
+
+    @staticmethod
+    def unpack_result(out: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """[Q, 2k] int32 device result -> (scores [Q, k] f32, ids [Q, k])."""
+        out = np.asarray(out)
+        k = out.shape[1] // 2
+        return out[:, k:].copy().view(np.float32), out[:, :k]
+
+    def _search_pruned_device(self, q_terms, q_weights, k,
+                              title_terms, title_weights):
+        """Pruned search returning the packed [Q, 2k] DEVICE array (ids,
+        then bitcast scores) — one upload, one dispatch; callers pull via
+        :meth:`unpack_result` (or pipeline batches before pulling)."""
+        extra = []
         if title_terms is not None:
             if "title" not in self._device_rows:
                 raise ValueError("engine built without a title index")
-            fields.append((
-                jnp.asarray(title_terms), jnp.asarray(title_weights),
-                *self._device_rows["title"],
-            ))
-        offsets, p_doc, p_imp = self._device_csr
+            extra.append((title_terms, title_weights))
+        packed, lqs = self._pack_queries(q_terms, q_weights, extra)
         per_term_cap = max(1, self.posting_budget // self.rare_terms)
+        run = self._pruned_topk_fn(k, lqs, per_term_cap)
+        offsets, p_doc, p_imp = self._device_csr
+        row_arrays = [a for name in (["text"] + (["title"] if extra else []))
+                      for a in self._device_rows[name]]
+        return run(jnp.asarray(packed), offsets, p_doc, p_imp, *row_arrays)
 
-        if self.mesh is None:
-            scores, ids = bm25_pruned_topk_rows(
-                jnp.asarray(rare), offsets, p_doc, p_imp, tuple(fields),
-                n_real_docs=self.text_index.n_docs, k=k,
-                n_candidates=self.n_candidates,
-                per_term_cap=per_term_cap,
-                max_dup_shifts=self.rare_terms)
-            return np.asarray(scores), np.asarray(ids)
+    def _search_pruned(
+        self, q_terms, q_weights, k, title_terms, title_weights,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        out = self._search_pruned_device(
+            q_terms, q_weights, k, title_terms, title_weights)
+        return self.unpack_result(out)
 
-        # sharded: each shard prunes+rescores its local slice (local CSR +
-        # local doc rows), shard-local top-k all-gathered and merged
-        run = self._pruned_topk_fn(k, len(fields), per_term_cap)
-        scores, ids = run(jnp.asarray(rare), offsets, p_doc, p_imp,
-                          tuple(fields))
-        return np.asarray(scores), np.asarray(ids)
-
-    def _pruned_topk_fn(self, k: int, n_fields: int, per_term_cap: int):
-        """Cached jitted shard_map closure for meshed pruned search — a
-        fresh jit per call would recompile every query batch (the exhaustive
-        path's _topk_fn cache, for the same reason)."""
+    def _pruned_topk_fn(self, k: int, lqs: Tuple[int, ...],
+                        per_term_cap: int):
+        """Cached jitted closure for pruned search over a PACKED query
+        array (see :meth:`_pack_queries`) — a fresh jit per call would
+        recompile every query batch, and separate per-array transfers
+        would each pay the tunnel round trip."""
         cached = getattr(self, "_pruned_cache", None)
         if cached is None:
             cached = self._pruned_cache = {}
-        key = (k, n_fields, per_term_cap)
+        key = (k, lqs, per_term_cap)
         if key in cached:
             return cached[key]
 
         mesh = self.mesh
-        shard_size = self._shard_size
         n_cand = self.n_candidates
         m_dup = self.rare_terms
+        M = self.rare_terms
+        n_real = self.text_index.n_docs
 
         from ..ops.bm25 import bm25_pruned_topk_rows
 
-        def shard_fn(rare_s, off_s, pd_s, pi_s, fields_s):
+        def unpack_queries(packed, row_arrays):
+            rare = packed[:, :M]
+            fields = []
+            pos = M
+            for f, lq in enumerate(lqs):
+                qt = packed[:, pos: pos + lq]
+                qw = jax.lax.bitcast_convert_type(
+                    packed[:, pos + lq: pos + 2 * lq], jnp.float32)
+                pos += 2 * lq
+                fields.append(
+                    (qt, qw, row_arrays[2 * f], row_arrays[2 * f + 1]))
+            return rare, tuple(fields)
+
+        def pack_result(scores, ids):
+            return jnp.concatenate(
+                [ids, jax.lax.bitcast_convert_type(scores, jnp.int32)],
+                axis=1)
+
+        if mesh is None:
+            @jax.jit
+            def run(packed, offsets, p_doc, p_imp, *row_arrays):
+                rare, fields = unpack_queries(packed, row_arrays)
+                scores, ids = bm25_pruned_topk_rows(
+                    rare, offsets, p_doc, p_imp, fields,
+                    n_real_docs=n_real, k=k, n_candidates=n_cand,
+                    per_term_cap=per_term_cap, max_dup_shifts=m_dup)
+                return pack_result(scores, ids)
+
+            cached[key] = run
+            return run
+
+        shard_size = self._shard_size
+
+        def shard_fn(packed, off_s, pd_s, pi_s, *row_arrays):
             shard_idx = jax.lax.axis_index(DATA_AXIS)
-            local_fields = tuple(
-                (qt, qw, packed[0]) for (qt, qw, packed) in fields_s)
+            local_rows = tuple(r[0] for r in row_arrays)
+            rare, fields = unpack_queries(packed, local_rows)
             s_scores, s_ids = bm25_pruned_topk_rows(
-                rare_s, off_s[0], pd_s[0], pi_s[0], local_fields,
+                rare, off_s[0], pd_s[0], pi_s[0], fields,
                 n_real_docs=shard_size, k=k, n_candidates=n_cand,
                 per_term_cap=per_term_cap, max_dup_shifts=m_dup)
             s_ids = jnp.where(
@@ -374,16 +428,16 @@ class RetrievalEngine:
             i = jnp.swapaxes(all_ids, 0, 1).reshape(s_ids.shape[0], -1)
             top_scores, idx = jax.lax.top_k(s, k)
             top_ids = jnp.take_along_axis(i, idx, axis=1)
-            return top_scores, top_ids
+            return pack_result(top_scores, top_ids)
 
-        field_spec = (P(), P(), P(DATA_AXIS, None, None, None))
+        row_spec = tuple(P(DATA_AXIS, None, None)
+                         for _ in range(2 * len(lqs)))
         run = jax.jit(jax.shard_map(
             shard_fn,
             mesh=mesh,
             in_specs=(P(), P(DATA_AXIS, None), P(DATA_AXIS, None, None),
-                      P(DATA_AXIS, None, None),
-                      tuple(field_spec for _ in range(n_fields))),
-            out_specs=(P(), P()),
+                      P(DATA_AXIS, None, None)) + row_spec,
+            out_specs=P(),
             check_vma=False,
         ))
         cached[key] = run
