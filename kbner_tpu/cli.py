@@ -31,6 +31,47 @@ def _setup_logging(target_dir: Path | None = None):
     )
 
 
+def _build_parser(config):
+    """targets: dependency — BiaffineParser + ParserTrainer (reference
+    train.py's dependency task path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .data.encode import encode_batch
+    from .models import XLMRConfig, load_hf_checkpoint
+    from .models.biaffine import (
+        BiaffineConfig, BiaffineParser, encode_dependency_arrays)
+    from .train.parser_trainer import ParserTrainer, build_rel_dictionary
+
+    corpus = config.load_corpus()
+    tokenizer = config.make_tokenizer()
+    rel_dict = build_rel_dictionary(corpus.train)
+    enc_cfg = config.make_encoder_config(tokenizer)
+    cfg = BiaffineConfig(
+        encoder=enc_cfg, num_rels=max(len(rel_dict), 1),
+        arc_dim=config.model.get("arc_dim", 256),
+        rel_dim=config.model.get("rel_dim", 64),
+        dropout=config.model.get("dropout", 0.1),
+        arc_loss=config.model.get("arc_loss", "ce"),
+        partial=config.model.get("partial", False),
+    )
+    model = BiaffineParser(cfg)
+    sample = corpus.train[:2]
+    eb = encode_batch(sample, tokenizer, None)
+    encode_dependency_arrays(eb, rel_dict=rel_dict)
+    arrays = {k: jnp.asarray(v) for k, v in eb.arrays().items()}
+    params = model.init({"params": jax.random.PRNGKey(0)}, arrays,
+                        method=model.loss)
+    weights_dir = config.model.get("encoder_weights")
+    if weights_dir:
+        loaded = load_hf_checkpoint(Path(weights_dir), enc_cfg)
+        params["params"]["encoder"] = loaded["params"]
+    trainer = ParserTrainer(
+        model, params, corpus, tokenizer, rel_dict,
+        n_buckets=config.data.get("n_buckets", 0))
+    return corpus, tokenizer, rel_dict, model, trainer
+
+
 def _build(config):
     """Construct (corpus, tokenizer, tag_dict, model, params, trainer)."""
     import jax.numpy as jnp
@@ -88,6 +129,19 @@ def cmd_train(args):
     config = ExperimentConfig.from_file(args.config)
     target_dir = config.resolve_target_dir()
     _setup_logging(target_dir)
+    if config.targets == "dependency":
+        corpus, tokenizer, rel_dict, model, trainer = _build_parser(config)
+        result = trainer.train(target_dir, config.make_train_config())
+        logging.info("best dev UAS: %s LAS: %s",
+                     result["best_dev_uas"], result["best_dev_las"])
+        test = [r for split in corpus.test_list for r in split]
+        if test:
+            trainer.load(target_dir / "best-model.msgpack")
+            scores = trainer.evaluate(test)
+            logging.info("test UAS %.4f LAS %.4f",
+                         scores["uas"], scores["las"])
+            print(json.dumps(scores))
+        return
     corpus, tokenizer, tag_dict, model, trainer = _build(config)
     result = trainer.train(target_dir, config.make_train_config())
     logging.info("best dev score: %s", result["best_dev_score"])

@@ -72,6 +72,8 @@ class ExperimentConfig:
     data: Dict[str, Any] = dataclasses.field(default_factory=dict)
     target_dir: Optional[str] = None
     trainer: str = "FinetuneTrainer"
+    # task surface (reference train.py targets: ner / dependency / ...)
+    targets: str = "ner"
 
     @classmethod
     def from_file(cls, path: str | Path) -> "ExperimentConfig":
@@ -117,6 +119,7 @@ class ExperimentConfig:
             data=raw.get("data", {}),
             target_dir=raw.get("target_dir"),
             trainer=raw.get("trainer", "FinetuneTrainer"),
+            targets=raw.get("targets", "ner"),
         )
 
     # -- factories -----------------------------------------------------------
@@ -170,7 +173,9 @@ class ExperimentConfig:
         raise ValueError(f"unknown tokenizer type {kind!r}")
 
     def make_encoder_config(self, tokenizer=None) -> XLMRConfig:
-        enc = self.model.get("encoder", "base")
+        # "size" accepted as an alias: a misspelled encoder key silently
+        # training xlmr-base cost a debugging session once
+        enc = self.model.get("encoder", self.model.get("size", "base"))
         kwargs: Dict[str, Any] = {}
         if tokenizer is not None and self.tokenizer.get("type") == "hash":
             kwargs["vocab_size"] = tokenizer.vocab_size

@@ -134,3 +134,37 @@ def test_cli_train_with_stride_windows(tmp_path):
     out = (run_dir / "test.TOY.tsv").read_text().strip().split("\n\n")
     assert len(out) == 8  # one block per ORIGINAL sentence
     assert results["TOY"]["micro_f1"] > 0.5
+
+
+def test_cli_train_dependency(tmp_path, capsys):
+    """targets: dependency trains the biaffine parser end to end through
+    the CLI (reference train.py dependency task path), with kmeans
+    bucketing and tree-CRF arc loss, and memorizes the toy treebank."""
+    from kbner_tpu import cli
+
+    cfg = {
+        "name": "toy-dep",
+        "targets": "dependency",
+        "corpora": [{
+            "name": "DEP_TOY",
+            "data_folder": str(FIX / "dep_toy"),
+            "column_format": {1: "text", 6: "head", 7: "deprel"},
+            "tag_to_bioes": None,
+            "test_file": "train.txt",
+        }],
+        "tokenizer": {"type": "hash", "vocab_size": 997},
+        "model": {"encoder": "tiny", "arc_dim": 32, "rel_dim": 16,
+                  "arc_loss": "crf"},
+        "data": {"n_buckets": 2},
+        "train": {"max_epochs": 80, "batch_size": 8,
+                  "learning_rate": 5e-3, "lr_rate": 1.0},
+        "target_dir": str(tmp_path / "dep_run"),
+    }
+    p = tmp_path / "dep.yaml"
+    import yaml as _yaml
+    p.write_text(_yaml.safe_dump(cfg))
+    cli.main(["train", "--config", str(p)])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    scores = json.loads(out)
+    assert scores["uas"] >= 0.9, scores  # memorized the toy treebank
+    assert (tmp_path / "dep_run" / "best-model.msgpack").exists()
