@@ -32,44 +32,88 @@ def _setup_logging(target_dir: Path | None = None):
 
 
 def _build_parser(config):
-    """targets: dependency — BiaffineParser + ParserTrainer (reference
-    train.py's dependency task path)."""
+    """Parsing-family tasks (reference train.py's non-NER targets):
+    ``dependency`` (tree), ``enhancedud`` (sem-dep DAG), ``ner_dp``
+    (span NER as parsing)."""
     import jax
     import jax.numpy as jnp
 
     from .data.encode import encode_batch
-    from .models import XLMRConfig, load_hf_checkpoint
-    from .models.biaffine import (
-        BiaffineConfig, BiaffineParser, encode_dependency_arrays)
-    from .train.parser_trainer import ParserTrainer, build_rel_dictionary
+    from .models import load_hf_checkpoint
+    from .train import parser_trainer as pt
 
     corpus = config.load_corpus()
     tokenizer = config.make_tokenizer()
-    rel_dict = build_rel_dictionary(corpus.train)
     enc_cfg = config.make_encoder_config(tokenizer)
-    cfg = BiaffineConfig(
-        encoder=enc_cfg, num_rels=max(len(rel_dict), 1),
-        arc_dim=config.model.get("arc_dim", 256),
-        rel_dim=config.model.get("rel_dim", 64),
-        dropout=config.model.get("dropout", 0.1),
-        arc_loss=config.model.get("arc_loss", "ce"),
-        partial=config.model.get("partial", False),
-    )
-    model = BiaffineParser(cfg)
-    sample = corpus.train[:2]
-    eb = encode_batch(sample, tokenizer, None)
-    encode_dependency_arrays(eb, rel_dict=rel_dict)
+    mc = config.model
+    arc_dim = mc.get("arc_dim", 256)
+    rel_dim = mc.get("rel_dim", 64)
+    n_buckets = config.data.get("n_buckets", 0)
+
+    if config.targets == "dependency":
+        from .models.biaffine import (
+            BiaffineConfig, BiaffineParser, encode_dependency_arrays)
+
+        rel_dict = pt.build_rel_dictionary(corpus.train)
+        model = BiaffineParser(BiaffineConfig(
+            encoder=enc_cfg, num_rels=max(len(rel_dict), 1),
+            arc_dim=arc_dim, rel_dim=rel_dim,
+            dropout=mc.get("dropout", 0.1),
+            arc_loss=mc.get("arc_loss", "ce"),
+            partial=mc.get("partial", False)))
+        attach = lambda eb: encode_dependency_arrays(eb, rel_dict=rel_dict)
+        make = lambda params: pt.ParserTrainer(
+            model, params, corpus, tokenizer, rel_dict,
+            n_buckets=n_buckets)
+    elif config.targets == "enhancedud":
+        from .models.biaffine import (
+            SemDepConfig, SemanticDependencyParser, encode_semdep_arrays)
+
+        dep_layer = config.data.get("dep_layer", "deps")
+        rel_dict = pt.build_semdep_rel_dictionary(
+            corpus.train, layer=dep_layer)
+        model = SemanticDependencyParser(SemDepConfig(
+            encoder=enc_cfg, num_rels=max(len(rel_dict), 1),
+            arc_dim=arc_dim, rel_dim=rel_dim,
+            arc_threshold=mc.get("arc_threshold", 0.5)))
+        attach = lambda eb: encode_semdep_arrays(
+            eb, layer=dep_layer, rel_dict=rel_dict)
+        make = lambda params: pt.SemDepTrainer(
+            model, params, corpus, tokenizer, rel_dict,
+            n_buckets=n_buckets, dep_layer=dep_layer)
+    elif config.targets == "ner_dp":
+        from .models.biaffine import (
+            BiaffineNERConfig, BiaffineNER, encode_span_labels)
+        from .data.dictionary import Dictionary
+
+        label_dict = Dictionary()
+        label_dict.add_item("O")
+        for rec in corpus.train:
+            for tag in rec.tags.get(config.tag_layer, []):
+                if "-" in tag:
+                    label_dict.add_item(tag.split("-", 1)[1])
+        model = BiaffineNER(BiaffineNERConfig(
+            encoder=enc_cfg, num_labels=max(len(label_dict), 2),
+            span_dim=mc.get("span_dim", 128),
+            max_span_len=mc.get("max_span_len", 30)))
+        attach = lambda eb: encode_span_labels(
+            eb, tag_layer=config.tag_layer, label_dict=label_dict)
+        make = lambda params: pt.BiaffineNERTrainer(
+            model, params, corpus, tokenizer, label_dict,
+            n_buckets=n_buckets, tag_layer=config.tag_layer)
+    else:
+        raise ValueError(f"unknown targets: {config.targets}")
+
+    eb = encode_batch(corpus.train[:2], tokenizer, None)
+    attach(eb)
     arrays = {k: jnp.asarray(v) for k, v in eb.arrays().items()}
     params = model.init({"params": jax.random.PRNGKey(0)}, arrays,
                         method=model.loss)
-    weights_dir = config.model.get("encoder_weights")
+    weights_dir = mc.get("encoder_weights")
     if weights_dir:
         loaded = load_hf_checkpoint(Path(weights_dir), enc_cfg)
         params["params"]["encoder"] = loaded["params"]
-    trainer = ParserTrainer(
-        model, params, corpus, tokenizer, rel_dict,
-        n_buckets=config.data.get("n_buckets", 0))
-    return corpus, tokenizer, rel_dict, model, trainer
+    return corpus, tokenizer, model, make(params)
 
 
 def _build(config):
@@ -129,17 +173,15 @@ def cmd_train(args):
     config = ExperimentConfig.from_file(args.config)
     target_dir = config.resolve_target_dir()
     _setup_logging(target_dir)
-    if config.targets == "dependency":
-        corpus, tokenizer, rel_dict, model, trainer = _build_parser(config)
+    if config.targets in ("dependency", "enhancedud", "ner_dp"):
+        corpus, tokenizer, model, trainer = _build_parser(config)
         result = trainer.train(target_dir, config.make_train_config())
-        logging.info("best dev UAS: %s LAS: %s",
-                     result["best_dev_uas"], result["best_dev_las"])
+        logging.info("best dev: %s", result)
         test = [r for split in corpus.test_list for r in split]
         if test:
             trainer.load(target_dir / "best-model.msgpack")
             scores = trainer.evaluate(test)
-            logging.info("test UAS %.4f LAS %.4f",
-                         scores["uas"], scores["las"])
+            logging.info("test %s", scores)
             print(json.dumps(scores))
         return
     corpus, tokenizer, tag_dict, model, trainer = _build(config)

@@ -1,22 +1,22 @@
-"""Dependency-parsing trainer: the ``targets: dependency`` task surface.
+"""Parsing-family task trainers: ``targets: dependency / enhancedud / ner_dp``.
 
-The reference trains its biaffine parsers through the same ModelFinetuner
-path as taggers (``train.py`` with ``targets: dependency/enhancedud``,
-dataloader bucketing via kmeans ``parser/utils/data.py:48``); here a
-focused trainer drives :class:`~kbner_tpu.models.biaffine.BiaffineParser`
-with the same training recipe (two param groups, warmup, clipping) and
-UAS/LAS model selection, reusing the tagger trainer's optimizer and
-checkpoint formats.
+The reference trains its biaffine parser family through the same
+ModelFinetuner path as taggers (``train.py`` with ``targets:
+dependency/enhancedud/ner_dp``, dataloader bucketing via kmeans
+``parser/utils/data.py:48``); here a shared trainer loop drives the three
+heads in :mod:`kbner_tpu.models.biaffine` with the same training recipe
+(two param groups, warmup, clipping) and task-native model selection
+(UAS/LAS for trees, labeled F1 for DAGs, span micro-F1 for NER-DP),
+reusing the tagger trainer's optimizer and checkpoint formats.
 """
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import logging
 import time
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -24,8 +24,8 @@ import numpy as np
 
 from ..data.conll import SentenceRecord
 from ..data.dictionary import Dictionary
-from ..data.encode import encode_batch, make_batches
-from ..models.biaffine import encode_dependency_arrays, mst_decode
+from ..data.encode import make_batches
+from ..models.biaffine import mst_decode
 from .optim import make_finetune_optimizer
 from .trainer import TrainConfig
 
@@ -41,23 +41,44 @@ def build_rel_dictionary(records: Sequence[SentenceRecord],
     return d
 
 
-class ParserTrainer:
-    """Train/evaluate a BiaffineParser over a column corpus whose
-    ``head``/``deprel`` layers hold CoNLL-U columns 6/7."""
+def build_semdep_rel_dictionary(records: Sequence[SentenceRecord],
+                                layer: str = "deps") -> Dictionary:
+    """Relation labels out of enhanced-UD ``head:rel|head:rel`` columns."""
+    d = Dictionary()
+    d.add_item("<unk>")  # index 0: unscored slot in rel_matrix
+    for r in records:
+        for cell in r.tags.get(layer, []):
+            for item in cell.split("|"):
+                if ":" in item:
+                    d.add_item(item.split(":", 1)[1])
+    return d
+
+
+class _TaskTrainer:
+    """Shared encode/train/checkpoint loop; subclasses attach task arrays
+    and define ``evaluate`` + ``score_key`` (higher = better)."""
+
+    score_key = "score"
 
     def __init__(self, model, params, corpus, tokenizer,
-                 rel_dict: Dictionary, n_buckets: int = 0,
-                 mst_repair: bool = True):
+                 n_buckets: int = 0):
         self.model = model
         self.params = params
         self.corpus = corpus
         self.tokenizer = tokenizer
-        self.rel_dict = rel_dict
         self.n_buckets = n_buckets
-        self.mst_repair = mst_repair
         self._decode_fn = None
 
-    # -- batches ---------------------------------------------------------------
+    # -- task hooks -----------------------------------------------------------
+
+    def _attach_arrays(self, eb) -> None:
+        raise NotImplementedError
+
+    def evaluate(self, records: Sequence[SentenceRecord],
+                 batch_size: int = 32) -> Dict[str, float]:
+        raise NotImplementedError
+
+    # -- batches --------------------------------------------------------------
 
     def _encode(self, records, batch_size: int, shuffle: bool, seed: int
                 ) -> List:
@@ -65,13 +86,13 @@ class ParserTrainer:
             records, self.tokenizer, None, batch_size, shuffle=shuffle,
             seed=seed, n_buckets=self.n_buckets, keep_records=True)
         for eb in batches:
-            encode_dependency_arrays(eb, rel_dict=self.rel_dict)
+            self._attach_arrays(eb)
         return batches
 
     def _to_device(self, eb) -> Dict[str, jnp.ndarray]:
         return {k: jnp.asarray(v) for k, v in eb.arrays().items()}
 
-    # -- training ----------------------------------------------------------------
+    # -- training -------------------------------------------------------------
 
     def train(self, base_path: str | Path, config: TrainConfig
               ) -> Dict[str, float]:
@@ -103,7 +124,8 @@ class ParserTrainer:
             return params, opt_state, loss
 
         rng = jax.random.PRNGKey(config.seed)
-        best = {"uas": -1.0, "las": -1.0, "epoch": 0}
+        key = self.score_key
+        best = {key: -float("inf"), "epoch": 0}
         history = []
         dev = [r for split in self.corpus.dev_list for r in split]
         # encode once (padded shapes are bucket-stable); epochs permute
@@ -122,22 +144,55 @@ class ParserTrainer:
                 self.params, opt_state, loss = train_step(
                     self.params, opt_state, self._to_device(eb), sub)
                 losses.append(float(loss))
+            # dev-less runs select on train loss (lower = better)
             scores = (self.evaluate(dev, config.eval_batch_size)
-                      if dev else {"uas": -np.mean(losses), "las": 0.0})
+                      if dev else {key: -float(np.mean(losses))})
             history.append({"epoch": epoch, "loss": float(np.mean(losses)),
                             **scores})
-            log.info("epoch %d: loss %.4f dev UAS %.4f LAS %.4f (%.1fs)",
-                     epoch, np.mean(losses), scores["uas"], scores["las"],
+            log.info("epoch %d: loss %.4f dev %s %.4f (%.1fs)",
+                     epoch, np.mean(losses), key, scores[key],
                      time.time() - t0)
-            if scores["uas"] >= best["uas"]:
+            if scores[key] >= best[key]:
                 best = {**scores, "epoch": epoch}
                 self.save(base_path / "best-model.msgpack")
         self.save(base_path / "final-model.msgpack")
         (base_path / "history.json").write_text(json.dumps(history))
-        return {"best_dev_uas": best["uas"], "best_dev_las": best["las"],
-                "best_epoch": best["epoch"]}
+        out = {f"best_dev_{k}": v for k, v in best.items() if k != "epoch"}
+        out["best_epoch"] = best["epoch"]
+        return out
 
-    # -- evaluation -------------------------------------------------------------
+    # -- persistence ----------------------------------------------------------
+
+    def save(self, path: str | Path) -> None:
+        from flax import serialization
+
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        Path(path).write_bytes(serialization.to_bytes(self.params))
+
+    def load(self, path: str | Path) -> None:
+        from flax import serialization
+
+        self.params = serialization.from_bytes(
+            self.params, Path(path).read_bytes())
+
+
+class ParserTrainer(_TaskTrainer):
+    """Tree parsing (``targets: dependency``): CoNLL-U columns 6/7,
+    UAS/LAS selection, marginal/greedy decode + host MST repair."""
+
+    score_key = "uas"
+
+    def __init__(self, model, params, corpus, tokenizer,
+                 rel_dict: Dictionary, n_buckets: int = 0,
+                 mst_repair: bool = True):
+        super().__init__(model, params, corpus, tokenizer, n_buckets)
+        self.rel_dict = rel_dict
+        self.mst_repair = mst_repair
+
+    def _attach_arrays(self, eb) -> None:
+        from ..models.biaffine import encode_dependency_arrays
+
+        encode_dependency_arrays(eb, rel_dict=self.rel_dict)
 
     def predict(self, eb):
         """(heads, rels) [B, W] numpy — marginal/greedy decode + optional
@@ -184,19 +239,104 @@ class ParserTrainer:
             return {"uas": 0.0, "las": 0.0}
         return {"uas": correct_h / total, "las": correct_hl / total}
 
-    # -- persistence -------------------------------------------------------------
 
-    def save(self, path: str | Path) -> None:
-        from flax import serialization
+class SemDepTrainer(_TaskTrainer):
+    """Graph parsing (``targets: enhancedud``, the reference's DM/PAS/PSD
+    SemanticDependencyParser surface): enhanced-UD ``head:rel|...`` cells,
+    labeled-F1 selection over predicted arcs."""
 
-        Path(path).parent.mkdir(parents=True, exist_ok=True)
-        Path(path).write_bytes(serialization.to_bytes(self.params))
+    score_key = "lf1"
 
-    def load(self, path: str | Path) -> None:
-        from flax import serialization
+    def __init__(self, model, params, corpus, tokenizer,
+                 rel_dict: Dictionary, n_buckets: int = 0,
+                 dep_layer: str = "deps"):
+        super().__init__(model, params, corpus, tokenizer, n_buckets)
+        self.rel_dict = rel_dict
+        self.dep_layer = dep_layer
 
-        self.params = serialization.from_bytes(
-            self.params, Path(path).read_bytes())
+    def _attach_arrays(self, eb) -> None:
+        from ..models.biaffine import encode_semdep_arrays
+
+        encode_semdep_arrays(eb, layer=self.dep_layer,
+                             rel_dict=self.rel_dict)
+
+    def predict(self, eb):
+        """(arcs [B, W, W+1] 0/1, rels [B, W, W+1]) numpy."""
+        if self._decode_fn is None:
+            model = self.model
+
+            @jax.jit
+            def decode_fn(params, batch):
+                return model.apply(params, batch, method=model.decode)
+
+            self._decode_fn = decode_fn
+        arcs, rels = self._decode_fn(self.params, self._to_device(eb))
+        return np.asarray(arcs), np.asarray(rels)
+
+    def evaluate(self, records: Sequence[SentenceRecord],
+                 batch_size: int = 32) -> Dict[str, float]:
+        tp_u = tp_l = n_pred = n_gold = 0
+        for eb in self._encode(records, batch_size, shuffle=False, seed=0):
+            arcs, rels = self.predict(eb)
+            gold_a = eb.extra["arc_matrix"] > 0
+            gold_r = eb.extra["rel_matrix"]
+            pred = arcs > 0
+            n_pred += int(pred.sum())
+            n_gold += int(gold_a.sum())
+            hit = pred & gold_a
+            tp_u += int(hit.sum())
+            tp_l += int((hit & (rels == gold_r)).sum())
+
+        def f1(tp):
+            p = tp / max(n_pred, 1)
+            r = tp / max(n_gold, 1)
+            return 2 * p * r / max(p + r, 1e-12)
+
+        return {"uf1": f1(tp_u), "lf1": f1(tp_l)}
+
+
+class BiaffineNERTrainer(_TaskTrainer):
+    """Span NER as parsing (``targets: ner_dp``, the reference's
+    BiaffineNERModel): BIOES gold spans vs greedily-selected
+    non-overlapping predicted spans, span micro-F1 selection."""
+
+    score_key = "micro_f1"
+
+    def __init__(self, model, params, corpus, tokenizer,
+                 label_dict: Dictionary, n_buckets: int = 0,
+                 tag_layer: str = "ner"):
+        super().__init__(model, params, corpus, tokenizer, n_buckets)
+        self.label_dict = label_dict
+        self.tag_layer = tag_layer
+
+    def _attach_arrays(self, eb) -> None:
+        from ..models.biaffine import encode_span_labels
+
+        encode_span_labels(eb, tag_layer=self.tag_layer,
+                           label_dict=self.label_dict)
+
+    def predict(self, eb) -> List[List[tuple]]:
+        """Per-sentence [(start, end_inclusive, label_id, score)]."""
+        return self.model.apply(self.params, self._to_device(eb),
+                                method=self.model.decode)
+
+    def evaluate(self, records: Sequence[SentenceRecord],
+                 batch_size: int = 32) -> Dict[str, float]:
+        tp = n_pred = n_gold = 0
+        for eb in self._encode(records, batch_size, shuffle=False, seed=0):
+            gold = np.asarray(eb.extra["span_labels"])
+            for b, chosen in enumerate(self.predict(eb)):
+                pred = {(i, j, lab) for (i, j, lab, _s) in chosen}
+                gi, gj = np.nonzero(gold[b])
+                gspans = {(int(i), int(j), int(gold[b, i, j]))
+                          for i, j in zip(gi, gj)}
+                tp += len(pred & gspans)
+                n_pred += len(pred)
+                n_gold += len(gspans)
+        p = tp / max(n_pred, 1)
+        r = tp / max(n_gold, 1)
+        return {"micro_f1": 2 * p * r / max(p + r, 1e-12),
+                "precision": p, "recall": r}
 
 
 def _has_cycle_or_multiroot(heads: np.ndarray) -> bool:

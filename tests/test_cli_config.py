@@ -168,3 +168,67 @@ def test_cli_train_dependency(tmp_path, capsys):
     scores = json.loads(out)
     assert scores["uas"] >= 0.9, scores  # memorized the toy treebank
     assert (tmp_path / "dep_run" / "best-model.msgpack").exists()
+
+
+def test_cli_train_enhancedud(tmp_path, capsys):
+    """targets: enhancedud trains the semantic-dependency DAG parser
+    through the CLI on enhanced-UD head:rel|head:rel cells (reference
+    train.py enhancedud task path) and memorizes the toy graphbank."""
+    from kbner_tpu import cli
+
+    cfg = {
+        "name": "toy-semdep",
+        "targets": "enhancedud",
+        "corpora": [{
+            "name": "SDP_TOY",
+            "data_folder": str(FIX / "semdep_toy"),
+            "column_format": {1: "text", 8: "deps"},
+            "tag_to_bioes": None,
+            "test_file": "train.txt",
+        }],
+        "tokenizer": {"type": "hash", "vocab_size": 997},
+        "model": {"encoder": "tiny", "arc_dim": 32, "rel_dim": 16},
+        "train": {"max_epochs": 60, "batch_size": 8,
+                  "learning_rate": 5e-3, "lr_rate": 1.0},
+        "target_dir": str(tmp_path / "sdp_run"),
+    }
+    p = tmp_path / "sdp.yaml"
+    import yaml as _yaml
+    p.write_text(_yaml.safe_dump(cfg))
+    cli.main(["train", "--config", str(p)])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    scores = json.loads(out)
+    assert scores["lf1"] >= 0.9, scores  # incl. the multi-head 'ref' arc
+    assert (tmp_path / "sdp_run" / "best-model.msgpack").exists()
+
+
+def test_cli_train_ner_dp(tmp_path, capsys):
+    """targets: ner_dp trains the biaffine span-NER model through the CLI
+    (reference BiaffineNERModel path) and memorizes the toy corpus."""
+    from kbner_tpu import cli
+
+    cfg = {
+        "name": "toy-nerdp",
+        "targets": "ner_dp",
+        "corpora": [{
+            "name": "TOY",
+            "data_folder": str(FIX / "ner_toy"),
+            "column_format": {0: "text", 1: "ner"},
+            "comment_symbol": "# id",
+            "tag_to_bioes": "ner",
+            "test_file": "train.txt",
+        }],
+        "tokenizer": {"type": "hash", "vocab_size": 997},
+        "model": {"encoder": "tiny", "span_dim": 32, "max_span_len": 8},
+        "train": {"max_epochs": 60, "batch_size": 8,
+                  "learning_rate": 5e-3, "lr_rate": 1.0},
+        "target_dir": str(tmp_path / "nerdp_run"),
+    }
+    p = tmp_path / "nerdp.yaml"
+    import yaml as _yaml
+    p.write_text(_yaml.safe_dump(cfg))
+    cli.main(["train", "--config", str(p)])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    scores = json.loads(out)
+    assert scores["micro_f1"] >= 0.9, scores
+    assert (tmp_path / "nerdp_run" / "best-model.msgpack").exists()
