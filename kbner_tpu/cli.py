@@ -208,6 +208,31 @@ def cmd_parse(args):
     config = ExperimentConfig.from_file(args.config)
     target_dir = config.resolve_target_dir()
     _setup_logging(None)
+    if config.targets in ("dependency", "enhancedud", "ner_dp"):
+        _, _, _, trainer = _build_parser(config)
+        best = target_dir / "best-model.msgpack"
+        final = target_dir / "final-model.msgpack"
+        trainer.load(best if best.exists() else final)
+        column_format = config.corpora[0].column_format
+        comment = config.corpora[0].comment_symbol
+        data_dir = Path(args.target_dir)
+        files = (sorted(data_dir.glob("*.txt"))
+                 if data_dir.is_dir() else [data_dir])
+        for f in files:
+            records = read_column_file(
+                f, column_format, comment_symbol=comment,
+                tag_to_bioes=None)
+            for rec, layers in zip(records,
+                                   trainer.predict_records(records)):
+                rec.tags.update(layers)
+            out = Path(args.out_dir or data_dir) / (f.stem + ".conllu")
+            pred_layers = tuple(
+                {"dependency": ("head", "deprel"),
+                 "enhancedud": ("deps",),
+                 "ner_dp": ("ner",)}[config.targets])
+            write_column_file(out, records, layers=pred_layers)
+            logging.info("wrote %s", out)
+        return
     corpus, tokenizer, tag_dict, model, trainer = _build(config)
     best = target_dir / "best-model.msgpack"
     final = target_dir / "final-model.msgpack"

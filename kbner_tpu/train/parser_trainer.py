@@ -223,6 +223,24 @@ class ParserTrainer(_TaskTrainer):
                         s_arc[b: b + 1], wm[b: b + 1])[0, :n]
         return heads, rels
 
+    def predict_records(self, records: Sequence[SentenceRecord],
+                        batch_size: int = 32
+                        ) -> List[Dict[str, List[str]]]:
+        """Per-record ``{"head": [...], "deprel": [...]}`` string layers in
+        the input order (the --parse output surface, CoNLL-U cols 6/7)."""
+        out: Dict[int, Dict[str, List[str]]] = {}
+        for eb in self._encode(records, batch_size, shuffle=False, seed=0):
+            heads, rels = self.predict(eb)
+            for b, rec in enumerate(eb.records):
+                n = len(rec.tokens)
+                out[id(rec)] = {
+                    "head": [str(int(h)) for h in heads[b, :n]],
+                    "deprel": [self.rel_dict.idx2item[int(r)]
+                               if int(r) < len(self.rel_dict.idx2item)
+                               else "dep" for r in rels[b, :n]],
+                }
+        return [out[id(r)] for r in records]
+
     def evaluate(self, records: Sequence[SentenceRecord],
                  batch_size: int = 32) -> Dict[str, float]:
         total = correct_h = correct_hl = 0
@@ -273,6 +291,25 @@ class SemDepTrainer(_TaskTrainer):
         arcs, rels = self._decode_fn(self.params, self._to_device(eb))
         return np.asarray(arcs), np.asarray(rels)
 
+    def predict_records(self, records: Sequence[SentenceRecord],
+                        batch_size: int = 32
+                        ) -> List[Dict[str, List[str]]]:
+        """Per-record ``{"deps": ["h:rel|h:rel", ...]}`` enhanced-UD cells
+        in the input order."""
+        out: Dict[int, Dict[str, List[str]]] = {}
+        names = self.rel_dict.idx2item
+        for eb in self._encode(records, batch_size, shuffle=False, seed=0):
+            arcs, rels = self.predict(eb)
+            for b, rec in enumerate(eb.records):
+                cells = []
+                for w in range(len(rec.tokens)):
+                    hs = np.nonzero(arcs[b, w])[0]
+                    cells.append("|".join(
+                        f"{int(h)}:{names[int(rels[b, w, h])] if int(rels[b, w, h]) < len(names) else 'dep'}"
+                        for h in hs) or "_")
+                out[id(rec)] = {"deps": cells}
+        return [out[id(r)] for r in records]
+
     def evaluate(self, records: Sequence[SentenceRecord],
                  batch_size: int = 32) -> Dict[str, float]:
         tp_u = tp_l = n_pred = n_gold = 0
@@ -319,6 +356,30 @@ class BiaffineNERTrainer(_TaskTrainer):
         """Per-sentence [(start, end_inclusive, label_id, score)]."""
         return self.model.apply(self.params, self._to_device(eb),
                                 method=self.model.decode)
+
+    def predict_records(self, records: Sequence[SentenceRecord],
+                        batch_size: int = 32
+                        ) -> List[Dict[str, List[str]]]:
+        """Per-record ``{"ner": [BIOES tags]}`` from the selected spans."""
+        out: Dict[int, Dict[str, List[str]]] = {}
+        names = self.label_dict.idx2item
+        for eb in self._encode(records, batch_size, shuffle=False, seed=0):
+            for b, (rec, chosen) in enumerate(
+                    zip(eb.records, self.predict(eb))):
+                tags = ["O"] * len(rec.tokens)
+                for (i, j, lab, _s) in chosen:
+                    if j >= len(tags):
+                        continue
+                    name = names[lab] if lab < len(names) else "MISC"
+                    if i == j:
+                        tags[i] = f"S-{name}"
+                    else:
+                        tags[i] = f"B-{name}"
+                        for p in range(i + 1, j):
+                            tags[p] = f"I-{name}"
+                        tags[j] = f"E-{name}"
+                out[id(rec)] = {"ner": tags}
+        return [out[id(r)] for r in records]
 
     def evaluate(self, records: Sequence[SentenceRecord],
                  batch_size: int = 32) -> Dict[str, float]:

@@ -169,6 +169,17 @@ def test_cli_train_dependency(tmp_path, capsys):
     assert scores["uas"] >= 0.9, scores  # memorized the toy treebank
     assert (tmp_path / "dep_run" / "best-model.msgpack").exists()
 
+    # --parse writes CoNLL-U predictions (head + deprel columns)
+    cli.main(["parse", "--config", str(p),
+              "--target_dir", str(FIX / "dep_toy" / "dev.txt"),
+              "--out_dir", str(tmp_path)])
+    out = (tmp_path / "dev.conllu").read_text().strip()
+    rows = [ln.split() for ln in out.splitlines() if ln.strip()]
+    assert all(len(r) >= 3 for r in rows)
+    # memorized treebank: first dev sentence is "The dog barks" -> 2 3 0
+    assert [r[-2] for r in rows[:3]] == ["2", "3", "0"]
+    assert rows[2][-1] == "root"
+
 
 def test_cli_train_enhancedud(tmp_path, capsys):
     """targets: enhancedud trains the semantic-dependency DAG parser
