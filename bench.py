@@ -18,7 +18,7 @@ exhaustive exact kernel over the same corpus and reported in ``extra``.
 ``extra`` also carries the model-side and index-side numbers the driver
 record needs (VERDICT r1 items #7/#8):
   - train_step_ms / train_subtok_per_s: full train step (loss + grad +
-    Adam update) of the flagship XLM-R-base + CRF tagger, bf16 + remat;
+    Adam update) of the flagship XLM-R-base + CRF tagger, bf16;
   - index_build_docs_per_s: vectorized ``BM25Index.build_encoded``
     ingest throughput (host, NumPy);
   - index_bytes_per_doc and lucene_est_bytes_per_doc: honest memory
@@ -76,7 +76,10 @@ def bench_train_step(on_tpu: bool) -> dict:
 
     if on_tpu:
         B, S, W = 16, 256, 128
-        enc = XLMRConfig.base(remat=True)
+        # no remat at this shape: activations fit v5e HBM comfortably and
+        # skipping the extra forward is +12% step throughput (measured
+        # 87.6 vs 98.5 ms/step); remat stays on for large-batch training
+        enc = XLMRConfig.base(remat=False)
         n_steps = 10
     else:
         B, S, W = 4, 64, 32
@@ -134,7 +137,7 @@ def bench_train_step(on_tpu: bool) -> dict:
     out = {
         "train_step_ms": round(dt * 1000.0, 2),
         "train_subtok_per_s": round(B * S / dt, 1),
-        "train_shape": f"B{B}xS{S} xlmr-{'base-bf16-remat' if on_tpu else 'tiny'}",
+        "train_shape": f"B{B}xS{S} xlmr-" + ("base-bf16" if on_tpu else "tiny"),
     }
     if peak:
         out["train_mfu"] = round(flops / dt / peak, 3)
@@ -207,9 +210,12 @@ def bench_retrieval(on_tpu: bool) -> dict:
     log(f"[bench] pruned (pipelined): {qps:.0f} q/s")
 
     # recall@10 vs the exact exhaustive kernel on one batch: a pruned hit
-    # is correct if its (exact BM25) score reaches the true 10th score
+    # is correct if the RETURNED DOC's exact (f32) BM25 score reaches the
+    # true 10th score — judging by recomputed-exact scores keeps the
+    # metric honest under the engine's 16-bit impact quantization (whose
+    # ~1e-4 relative score error would otherwise eat the tie margin)
     qt0, qw0 = batches[2]
-    p_scores, _ = engine.search_encoded(qt0, qw0, k=K)
+    p_scores, p_ids = engine.search_encoded(qt0, qw0, k=K)
     dtt = jnp.asarray(np.ascontiguousarray(index.doc_terms.T))
     dit = jnp.asarray(np.ascontiguousarray(index.doc_impacts.T))
     n_padded = index.doc_terms.shape[0]
@@ -231,7 +237,16 @@ def bench_retrieval(on_tpu: bool) -> dict:
     exact_dt = time.perf_counter() - t0
     kth = e_scores[:, K - 1:K]
     live = kth > 0  # queries with a full positive top-10
-    hit = (p_scores >= kth - 1e-4) & live
+    # exact f32 rescore of the returned docs (host, [Q, K, Ld, Lq] match)
+    safe_ids = np.maximum(p_ids, 0)
+    rt = index.doc_terms[safe_ids]  # [Q, K, Ld]
+    ri = index.doc_impacts[safe_ids]
+    match = rt[:, :, :, None] == qt0[:, None, None, :]
+    p_exact = np.einsum(
+        "qkdl,qkd->qk", match.astype(np.float32) * qw0[:, None, None, :],
+        ri.astype(np.float32))
+    p_exact = np.where(p_ids >= 0, p_exact, -np.inf)
+    hit = (p_exact >= kth - 1e-4) & live
     recall = float(hit.sum()) / max(float(live.sum()) * K, 1.0)
     log(f"[bench] recall@10 vs exact: {recall:.4f}; "
         f"exhaustive {Q_BATCH / exact_dt:.0f} q/s at N={n_padded}")

@@ -266,20 +266,20 @@ def bm25_pruned_topk(
     cand_valid = jnp.isfinite(part_scores)
     safe_ids = jnp.where(cand_valid, cand_ids, 0)
 
-    # pass 2: exact rescoring over all fields — a row-block gather of the
-    # candidates' doc-major rows. Gather cost on TPU is ~ #row indices,
-    # not bytes, so the PACKED field layout (terms and float-bitcast
-    # impacts interleaved in ONE int32 [N, 2, Ld] array) halves the cost
-    # vs two separate gathers of the same rows. A field is either
-    # (qt, qw, packed) or the legacy (qt, qw, doc_terms, doc_impacts).
+    # pass 2: (near-)exact rescoring over all fields — a row-block gather
+    # of the candidates' doc-major rows. A field is either the f32 layout
+    # (qt, qw, doc_terms, doc_impacts) or the compact 16-bit-code layout
+    # (qt, qw, doc_terms, doc_codes_u16, lo, step) where impacts are
+    # log-quantized (retrieval/index.py::log_quantize, relative error
+    # ~1e-4 — below Lucene's own 1-byte norm quantization).
     total = jnp.zeros((Q, C), jnp.float32)
     for field in fields:
-        if len(field) == 3:
-            qt, qw, packed = field
-            rows = packed[safe_ids]  # [Q, C, 2, Ld] — one gather
-            dt_rows = rows[:, :, 0]
-            di_rows = jax.lax.bitcast_convert_type(
-                rows[:, :, 1], jnp.float32)
+        if len(field) == 6:
+            qt, qw, dterms, dcodes, lo, step = field
+            dt_rows = dterms[safe_ids]  # [Q, C, Ld]
+            code = dcodes[safe_ids].astype(jnp.float32)
+            di_rows = jnp.where(
+                code > 0, jnp.exp(lo + (code - 1.0) * step), 0.0)
         else:
             qt, qw, dterms, dimps = field
             dt_rows = dterms[safe_ids]  # [Q, C, Ld]
@@ -309,30 +309,34 @@ def bm25_pruned_topk(
 def bm25_pruned_topk_rows(
     rare_terms: jnp.ndarray,  # [Q, M] int32 pass-1 term ids (-1 pad)
     offsets: jnp.ndarray,  # [V+1] int32 CSR element offsets
-    postings_doc_rows: jnp.ndarray,  # [NR, 128] int32 row-blocked postings
-    postings_imp_rows: jnp.ndarray,  # [NR, 128] float32
-    fields: Tuple[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray], ...],
+    packed_rows: jnp.ndarray,  # [NR, 128] int32 (code8 << 24) | doc_id
+    fields: Tuple[Tuple, ...],
     n_real_docs: int | jnp.ndarray,
     k: int = 10,
     n_candidates: int = 512,
     per_term_cap: int = 1024,
     max_dup_shifts: int = 16,
+    imp_lo: float = 0.0,
+    imp_step: float = 1.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Row-blocked two-pass pruned top-k — the fast device path.
 
-    The postings arrays are laid out as 128-lane rows; each rare term's
-    posting window [off, off+min(df, cap)) is fetched by gathering the
-    covering rows (cost on TPU ~ #row indices, ~50ns each) rather than per
-    element (~50ns PER ELEMENT — the element-gather variant
-    :func:`bm25_pruned_topk_device` is kept for layout-compat but is ~10x
-    slower at wiki scale). Out-of-window lanes are masked via the global
-    element index. Postings must be padded so every window's last covering
-    row exists (``BM25Index.csr_rows`` adds the guard rows).
+    The postings live as PACKED 128-lane rows — one int32 per posting,
+    ``(impact8 << 24) | doc_id`` (``retrieval/index.py::pack_postings``);
+    each rare term's posting window [off, off+min(df, cap)) is fetched by
+    gathering the covering rows (cost on TPU ~ #row indices, ~50ns each)
+    rather than per element — and the single packed array halves the
+    row-gather count and HBM footprint vs separate doc/impact arrays.
+    ``imp_lo``/``imp_step`` dequantize the 8-bit impact codes (pass-1
+    impacts only rank candidates; pass 2 rescores from the field rows).
+    Out-of-window lanes are masked via the global element index. Postings
+    must be padded so any window's covering rows exist
+    (``BM25Index.csr_rows_packed`` adds the guard rows).
 
     With impact-ordered postings (``BM25Index.csr``), the cap-sized prefix
     of each term's postings contains its highest-impact documents, which is
     what keeps recall@k high at small caps (MaxScore/impact-ordered
-    pruning). Returned scores are exact BM25 for the returned docs.
+    pruning).
     """
     Q, M = rare_terms.shape
     cap = per_term_cap
@@ -344,8 +348,11 @@ def bm25_pruned_topk_rows(
     r0 = o >> 7
     rr = jax.lax.broadcasted_iota(jnp.int32, (Q, M, R), 2)
     rows = r0[:, :, None] + rr  # [Q, M, R]
-    d_rows = postings_doc_rows[rows]  # [Q, M, R, 128]
-    i_rows = postings_imp_rows[rows]
+    p_rows = packed_rows[rows]  # [Q, M, R, 128] — ONE gather
+    d_rows = p_rows & 0xFFFFFF
+    code = jax.lax.shift_right_logical(p_rows, 24).astype(jnp.float32)
+    i_rows = jnp.where(
+        code > 0, jnp.exp(imp_lo + (code - 1.0) * imp_step), 0.0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (Q, M, R, 128), 3)
     g = rows[..., None] * 128 + lane  # global element index
     valid = (g >= o[:, :, None, None]) & (g < (o + eff)[:, :, None, None])

@@ -123,6 +123,8 @@ class RetrievalEngine:
 
         self._device_fields: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
         self._device_rows: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
+        self._row_scales: Dict[str, Tuple[float, float]] = {}
+        self._csr_scale: Tuple[float, float] = (0.0, 1.0)
         self._shard_size = 0
         self._upload()
 
@@ -152,22 +154,30 @@ class RetrievalEngine:
             if self.mode == "pruned":
                 # NB: a packed [N, 2, Ld] single-gather layout was measured
                 # ~40% SLOWER than two [N, Ld] gathers on v5e (the (2, Ld)
-                # slice spans two lane-tiles per row); keep the two-array
-                # layout (the kernel accepts either)
+                # slice spans two lane-tiles per row); keep two [N, Ld]
+                # arrays, with impacts as 16-bit log codes (half the HBM
+                # footprint; dequantization error ~1e-4 relative, below
+                # Lucene's own 1-byte norm quantization)
+                from .index import log_quantize
+
+                codes, lo, step = log_quantize(di, bits=16)
+                self._row_scales[name] = (lo, step)
                 if self.mesh is None:
                     # doc-major rows for pass-2 rescoring gathers
                     self._device_rows[name] = (jnp.asarray(dt),
-                                               jnp.asarray(di))
+                                               jnp.asarray(codes))
                     if name == "text":
-                        # row-blocked impact-ordered CSR postings resident
-                        # in HBM: per-query traffic is just the [Q, M]
-                        # rare-term ids; windows are fetched as 128-lane
-                        # row gathers (bm25_pruned_topk_rows)
-                        off32, pd_rows, pi_rows = self.text_index.csr_rows()
+                        # row-blocked impact-ordered PACKED CSR postings
+                        # resident in HBM ((code8 << 24) | doc per int32):
+                        # per-query traffic is just the [Q, M] rare-term
+                        # ids; windows are fetched as single 128-lane row
+                        # gathers (bm25_pruned_topk_rows)
+                        off32, packed, clo, cstep = \
+                            self.text_index.csr_rows_packed()
+                        self._csr_scale = (clo, cstep)
                         self._device_csr = (
                             jnp.asarray(off32),
-                            jnp.asarray(pd_rows),
-                            jnp.asarray(pi_rows),
+                            jnp.asarray(packed),
                         )
                 else:
                     # sharded pruned: rows stacked [S, shard, Ld] over
@@ -179,7 +189,7 @@ class RetrievalEngine:
                         jax.device_put(
                             dt.reshape(S, ss, -1), rows_sharding),
                         jax.device_put(
-                            di.reshape(S, ss, -1), rows_sharding),
+                            codes.reshape(S, ss, -1), rows_sharding),
                     )
                     if name == "text":
                         self._device_csr = self._build_shard_csr(dt, di)
@@ -196,40 +206,53 @@ class RetrievalEngine:
             self._device_fields[name] = (dtt, dit)
 
     def _build_shard_csr(self, dt_padded: np.ndarray, di_padded: np.ndarray):
-        """Per-shard local row-blocked CSR postings, stacked [S, ...] and
-        sharded over 'data'. Impact-ordered within each term (csr_rows
-        semantics); padding rows carry term -1 and never enter postings."""
+        """Per-shard local row-blocked PACKED CSR postings, stacked
+        [S, ...] and sharded over 'data'. Impact-ordered within each term
+        (csr_rows semantics); one quantization scale shared across shards
+        so the jitted closure sees one (lo, step) pair; padding rows carry
+        -1 and never enter any window."""
+        from .index import log_quantize
+
         S, ss = self.n_shards, self._shard_size
         V = len(self.text_index.vocab)
         lanes, guard = 128, 32
-        offs, pds, pis = [], [], []
+        if ss >= 0xFFFFFF:
+            raise ValueError(f"shard size {ss} needs > 24-bit doc ids")
+        # global quantization scale over every impact (shards share it)
+        _, lo, step = log_quantize(
+            di_padded[dt_padded >= 0].astype(np.float32), bits=8)
+        self._csr_scale = (lo, step)
+        levels = (1 << 8) - 2
+        offs, pks = [], []
         for s in range(S):
             sl_t = dt_padded[s * ss:(s + 1) * ss]
             sl_i = di_padded[s * ss:(s + 1) * ss]
             valid = sl_t >= 0
             terms = sl_t[valid]
-            docs = np.nonzero(valid)[0].astype(np.int32)
+            docs = np.nonzero(valid)[0].astype(np.uint32)
             imps = sl_i[valid].astype(np.float32)
             order = np.lexsort((-imps, terms))
             df = np.bincount(terms[order], minlength=V)
             off = np.zeros(V + 1, dtype=np.int32)
             np.cumsum(df, out=off[1:])
             offs.append(off)
-            pds.append(docs[order])
-            pis.append(imps[order])
-        nnz = max((len(p) for p in pds), default=1)
+            imps_s = imps[order]
+            codes = np.zeros(imps_s.shape, np.uint32)
+            pos = imps_s > 0
+            codes[pos] = np.clip(
+                np.rint((np.log(imps_s[pos]) - lo) / step),
+                0, levels).astype(np.uint32) + 1
+            pks.append(((codes << 24) | docs[order]).view(np.int32))
+        nnz = max((len(p) for p in pks), default=1)
         nr = (nnz + lanes - 1) // lanes + guard
-        p_doc = np.full((S, nr * lanes), -1, np.int32)
-        p_imp = np.zeros((S, nr * lanes), np.float32)
+        packed = np.full((S, nr * lanes), -1, np.int32)
         for s in range(S):
-            p_doc[s, : len(pds[s])] = pds[s]
-            p_imp[s, : len(pis[s])] = pis[s]
+            packed[s, : len(pks[s])] = pks[s]
         sh2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
         sh3 = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
         return (
             jax.device_put(np.stack(offs), sh2),
-            jax.device_put(p_doc.reshape(S, nr, lanes), sh3),
-            jax.device_put(p_imp.reshape(S, nr, lanes), sh3),
+            jax.device_put(packed.reshape(S, nr, lanes), sh3),
         )
 
     # -- search ---------------------------------------------------------------
@@ -346,10 +369,10 @@ class RetrievalEngine:
         packed, lqs = self._pack_queries(q_terms, q_weights, extra)
         per_term_cap = max(1, self.posting_budget // self.rare_terms)
         run = self._pruned_topk_fn(k, lqs, per_term_cap)
-        offsets, p_doc, p_imp = self._device_csr
+        offsets, p_packed = self._device_csr
         row_arrays = [a for name in (["text"] + (["title"] if extra else []))
                       for a in self._device_rows[name]]
-        return run(jnp.asarray(packed), offsets, p_doc, p_imp, *row_arrays)
+        return run(jnp.asarray(packed), offsets, p_packed, *row_arrays)
 
     def _search_pruned(
         self, q_terms, q_weights, k, title_terms, title_weights,
@@ -376,6 +399,9 @@ class RetrievalEngine:
         m_dup = self.rare_terms
         M = self.rare_terms
         n_real = self.text_index.n_docs
+        csr_lo, csr_step = self._csr_scale
+        field_names = ["text", "title"][: len(lqs)]
+        row_scales = [self._row_scales[n] for n in field_names]
 
         from ..ops.bm25 import bm25_pruned_topk_rows
 
@@ -388,8 +414,10 @@ class RetrievalEngine:
                 qw = jax.lax.bitcast_convert_type(
                     packed[:, pos + lq: pos + 2 * lq], jnp.float32)
                 pos += 2 * lq
+                lo, step = row_scales[f]
                 fields.append(
-                    (qt, qw, row_arrays[2 * f], row_arrays[2 * f + 1]))
+                    (qt, qw, row_arrays[2 * f], row_arrays[2 * f + 1],
+                     lo, step))
             return rare, tuple(fields)
 
         def pack_result(scores, ids):
@@ -399,12 +427,13 @@ class RetrievalEngine:
 
         if mesh is None:
             @jax.jit
-            def run(packed, offsets, p_doc, p_imp, *row_arrays):
+            def run(packed, offsets, p_packed, *row_arrays):
                 rare, fields = unpack_queries(packed, row_arrays)
                 scores, ids = bm25_pruned_topk_rows(
-                    rare, offsets, p_doc, p_imp, fields,
+                    rare, offsets, p_packed, fields,
                     n_real_docs=n_real, k=k, n_candidates=n_cand,
-                    per_term_cap=per_term_cap, max_dup_shifts=m_dup)
+                    per_term_cap=per_term_cap, max_dup_shifts=m_dup,
+                    imp_lo=csr_lo, imp_step=csr_step)
                 return pack_result(scores, ids)
 
             cached[key] = run
@@ -412,14 +441,15 @@ class RetrievalEngine:
 
         shard_size = self._shard_size
 
-        def shard_fn(packed, off_s, pd_s, pi_s, *row_arrays):
+        def shard_fn(packed, off_s, pk_s, *row_arrays):
             shard_idx = jax.lax.axis_index(DATA_AXIS)
             local_rows = tuple(r[0] for r in row_arrays)
             rare, fields = unpack_queries(packed, local_rows)
             s_scores, s_ids = bm25_pruned_topk_rows(
-                rare, off_s[0], pd_s[0], pi_s[0], fields,
+                rare, off_s[0], pk_s[0], fields,
                 n_real_docs=shard_size, k=k, n_candidates=n_cand,
-                per_term_cap=per_term_cap, max_dup_shifts=m_dup)
+                per_term_cap=per_term_cap, max_dup_shifts=m_dup,
+                imp_lo=csr_lo, imp_step=csr_step)
             s_ids = jnp.where(
                 s_ids >= 0, s_ids + shard_idx * shard_size, -1)
             all_scores = jax.lax.all_gather(s_scores, DATA_AXIS)
@@ -435,7 +465,7 @@ class RetrievalEngine:
         run = jax.jit(jax.shard_map(
             shard_fn,
             mesh=mesh,
-            in_specs=(P(), P(DATA_AXIS, None), P(DATA_AXIS, None, None),
+            in_specs=(P(), P(DATA_AXIS, None),
                       P(DATA_AXIS, None, None)) + row_spec,
             out_specs=P(),
             check_vma=False,

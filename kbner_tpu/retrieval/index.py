@@ -41,6 +41,29 @@ PAD_TERM = -1  # padding slot in doc_terms
 OOV_TERM = -2  # query term absent from the index vocabulary
 
 
+def log_quantize(imps: np.ndarray, bits: int
+                 ) -> Tuple[np.ndarray, float, float]:
+    """Log-domain impact quantization: ``(codes, lo, step)``.
+
+    Code 0 is reserved for impact 0 (padding); positive impacts map to
+    codes ``1 .. 2**bits - 1`` linearly in log space, so relative error is
+    bounded by ``step/2`` (at 16 bits over a typical BM25 impact range the
+    error is ~1e-4 — far below Lucene's own 1-byte norm quantization).
+    Dequantize with ``exp(lo + (code - 1) * step)`` (zero where code 0).
+    """
+    pos = imps > 0
+    codes = np.zeros(imps.shape, dtype=np.uint16 if bits <= 16 else np.uint32)
+    if not pos.any():
+        return codes, 0.0, 1.0
+    logs = np.log(imps[pos])
+    lo = float(logs.min())
+    levels = (1 << bits) - 2
+    step = max((float(logs.max()) - lo) / max(levels, 1), 1e-12)
+    codes[pos] = np.clip(
+        np.rint((logs - lo) / step), 0, levels).astype(codes.dtype) + 1
+    return codes, lo, step
+
+
 def long_to_int4(i: int) -> int:
     """Lucene SmallFloat.longToInt4: lossy 4-mantissa-bit integer encoding."""
     if i < 0:
@@ -77,6 +100,26 @@ def quantize_doc_lengths(dls: np.ndarray) -> np.ndarray:
         [quantize_doc_length(i) for i in range(int(dls.max()) + 1)],
         dtype=np.int64)
     return table[dls]
+
+
+def pack_postings(p_doc: np.ndarray, p_imp: np.ndarray, lanes: int = 128,
+                  guard_rows: int = 32
+                  ) -> Tuple[np.ndarray, float, float]:
+    """Row-block postings into one int32 word each:
+    ``(code8 << 24) | doc_id`` (doc ids must fit 24 bits per shard).
+    Padding slots are -1 (doc field 0xFFFFFF, never a valid id).
+    Returns (packed [NR, lanes] int32, lo, step)."""
+    nnz = len(p_doc)
+    if nnz and int(p_doc.max()) >= 0xFFFFFF:
+        raise ValueError(
+            f"doc id {int(p_doc.max())} needs > 24 bits; shard the index "
+            "(per-shard ids are local) or use the unpacked csr_rows layout")
+    codes, lo, step = log_quantize(p_imp, bits=8)
+    nr = (nnz + lanes - 1) // lanes + guard_rows
+    packed = np.full((nr * lanes,), -1, dtype=np.int32)
+    packed[:nnz] = ((codes.astype(np.uint32) << 24)
+                    | p_doc.astype(np.uint32)).view(np.int32)
+    return packed.reshape(nr, lanes), lo, step
 
 
 @dataclasses.dataclass
@@ -148,6 +191,19 @@ class BM25Index:
         pi[:nnz] = p_imp
         return (offsets.astype(np.int32), pd.reshape(nr, lanes),
                 pi.reshape(nr, lanes))
+
+    def csr_rows_packed(self, lanes: int = 128, guard_rows: int = 32):
+        """Packed row-blocked postings: ONE int32 per posting —
+        ``(impact8 << 24) | doc_id`` — halving both the HBM footprint and
+        the pass-1 row-gather count vs the two-array :meth:`csr_rows`
+        layout (Lucene packs its postings to ~2 B via delta-vint; on TPU a
+        fixed-width word with an 8-bit log-quantized impact is the
+        streaming-friendly equivalent, and pass-1 impacts only rank
+        candidates so 8 bits is plenty). Returns
+        (offsets int32 [V+1], packed [NR, lanes] int32, lo, step)."""
+        offsets, p_doc, p_imp, _ = self.csr
+        return (offsets.astype(np.int32),) + pack_postings(
+            p_doc, p_imp, lanes=lanes, guard_rows=guard_rows)
 
     # -- construction ---------------------------------------------------------
 
