@@ -78,6 +78,12 @@ class TrainConfig:
     # per-epoch checkpointing with optimizer state + resume
     checkpoint: bool = False
     resume: bool = False
+    # profiler integration (SURVEY §5: the reference has none; a
+    # production TPU trainer needs one): capture a TensorBoard/XPlane
+    # trace of steps [profile_start, profile_start + profile_steps) of
+    # the first epoch into <target_dir>/profile
+    profile_steps: int = 0
+    profile_start: int = 2  # skip compile + warmup steps
 
 
 class FinetuneTrainer:
@@ -276,7 +282,12 @@ class FinetuneTrainer:
                 freeze = jnp.asarray(
                     1.0 if (config.freeze_first_epoch and epoch == 0) else 0.0)
                 losses = []
+                profiling = False
                 for i, item in enumerate(batches):
+                    if (config.profile_steps and epoch == start_epoch
+                            and i == config.profile_start):
+                        jax.profiler.start_trace(str(base_path / "profile"))
+                        profiling = True
                     if config.multi_view:
                         eb, orig = item
                         arrays = {"ctx": self._to_device(eb),
@@ -287,6 +298,14 @@ class FinetuneTrainer:
                     self.params, opt_state, loss = train_step(
                         self.params, opt_state, arrays, step_rng, freeze)
                     losses.append(float(loss))
+                    if (profiling and i + 1 ==
+                            config.profile_start + config.profile_steps):
+                        jax.profiler.stop_trace()
+                        profiling = False
+                        log.info("wrote profiler trace to %s",
+                                 base_path / "profile")
+                if profiling:  # epoch shorter than the profile window
+                    jax.profiler.stop_trace()
                 train_loss = float(np.mean(losses)) if losses else 0.0
                 history["train_loss"].append(train_loss)
 

@@ -77,6 +77,18 @@ def test_loss_tsv_and_plot(tmp_path, trainer_factory):
         assert out.exists() and out.stat().st_size > 0
 
 
+def test_profiler_trace(tmp_path, trainer_factory):
+    """profile_steps captures an XPlane trace of the first-epoch steps
+    (SURVEY §5 tracing: the rebuild adds real profiler integration)."""
+    make, corpus = trainer_factory
+    t = make()
+    t.train(tmp_path / "run", TrainConfig(
+        learning_rate=1e-3, lr_rate=1.0, batch_size=8, max_epochs=1,
+        profile_steps=1, profile_start=0))
+    traces = list((tmp_path / "run" / "profile").rglob("*.xplane.pb"))
+    assert traces and traces[0].stat().st_size > 0
+
+
 def test_evaluate_speed(trainer_factory):
     make, corpus = trainer_factory
     t = make()
