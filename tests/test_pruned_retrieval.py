@@ -196,3 +196,47 @@ def test_query_truncation_keeps_rare_terms():
     # with one slot, only the rarest survives
     q_terms1, _ = index.encode_queries([q], max_query_terms=1)
     assert q_terms1[0, 0] == index.vocab["rareword"]
+
+
+def test_rescore_pallas_matches_xla():
+    """The Pallas pass-2 rescore kernel (interpret mode on CPU) matches
+    the XLA broadcast-compare formulation on the same quantized rows."""
+    from kbner_tpu.ops.bm25 import bm25_rescore_pallas
+
+    rng = np.random.RandomState(0)
+    Q, Lq, Ld, C = 16, 12, 20, 256
+    qt = rng.randint(-1, 50, size=(Q, Lq)).astype(np.int32)
+    qw = rng.rand(Q, Lq).astype(np.float32)
+    dt = rng.randint(-1, 50, size=(Q, C, Ld)).astype(np.int32)
+    codes = rng.randint(0, 1 << 16, size=(Q, C, Ld)).astype(np.int32)
+    lo, step = -2.0, 1e-4
+
+    di = np.where(codes > 0, np.exp(lo + (codes - 1.0) * step), 0.0)
+    want = np.zeros((Q, C), np.float32)
+    for l in range(Lq):
+        m = dt == qt[:, l][:, None, None]
+        want += qw[:, l][:, None] * np.where(m, di, 0.0).sum(-1)
+
+    got = bm25_rescore_pallas(
+        jnp.asarray(qt), jnp.asarray(qw),
+        jnp.asarray(np.swapaxes(dt, 1, 2).copy()),
+        jnp.asarray(np.swapaxes(codes, 1, 2).copy()),
+        lo=lo, step=step)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=1e-5)
+
+
+def test_pruned_pallas_rescore_end_to_end(corpus_index):
+    """use_pallas pruned engine returns the same docs as the XLA path."""
+    docs, index = corpus_index
+    rng = np.random.RandomState(3)
+    queries = [docs[i] for i in rng.randint(0, len(docs), 16)]
+    a = RetrievalEngine(index, mode="pruned", rare_terms=8,
+                        posting_budget=2048, n_candidates=128,
+                        use_pallas=False).search(queries, k=5)
+    b = RetrievalEngine(index, mode="pruned", rare_terms=8,
+                        posting_budget=2048, n_candidates=128,
+                        use_pallas=True).search(queries, k=5)
+    for ra, rb in zip(a, b):
+        assert [d.doc_id for d in ra] == [d.doc_id for d in rb]
+        np.testing.assert_allclose(
+            [d.score for d in ra], [d.score for d in rb], rtol=1e-5)
