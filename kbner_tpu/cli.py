@@ -330,6 +330,81 @@ def cmd_retrieve(args):
         logging.info("%s: %d sentences fused", split, len(fused))
 
 
+def cmd_serve(args):
+    """Online inference: JSONL requests on stdin -> JSONL responses on
+    stdout, micro-batched (a serving surface the reference lacks — its
+    closest equivalent is offline --parse).
+
+    Request:  {"id": ..., "tokens": [...]} or {"id": ..., "text": "..."}
+    Response: {"id": ..., "tokens": [...], "tags": [...],
+               "spans": [{"start", "end", "label"}]}
+    With --kb, each batch is retrieval-augmented (search + context fusion)
+    before prediction; context tokens never appear in the response.
+    """
+    import sys
+
+    from .config import ExperimentConfig
+    from .data.conll import SentenceRecord
+    from .data.tag_schemes import get_spans
+
+    config = ExperimentConfig.from_file(args.config)
+    target_dir = config.resolve_target_dir()
+    _setup_logging(None)
+    corpus, tokenizer, tag_dict, model, trainer = _build(config)
+    best = target_dir / "best-model.msgpack"
+    final = target_dir / "final-model.msgpack"
+    if best.exists() or final.exists():
+        trainer.load(best if best.exists() else final)
+
+    engine = None
+    if args.kb:
+        from .retrieval.engine import RetrievalEngine
+        from .retrieval.pipeline import build_kb_from_jsonl
+
+        text_index, store, title_index = build_kb_from_jsonl(
+            args.kb, lang=args.lang)
+        engine = RetrievalEngine(
+            text_index, store=store, title_index=title_index,
+            mode=args.engine_mode)
+
+    def flush(batch):
+        if not batch:
+            return
+        ids = [rid for rid, _ in batch]
+        orig = [rec for _, rec in batch]
+        records = orig
+        if engine is not None:
+            from .retrieval.fusion import fuse_contexts
+
+            results = engine.search(
+                [" ".join(r.tokens) for r in records], k=args.k)
+            records = fuse_contexts(
+                records, results, tokenizer, mode=args.mode)
+        preds = trainer.predict(list(records), batch_size=args.batch_size)
+        for rid, rec, tags in zip(ids, orig, preds):
+            n = len(rec.tokens)
+            tags = tags[:n]  # context tokens stay internal
+            spans = [{"start": s.start, "end": s.end, "label": s.label}
+                     for s in get_spans(tags, ignore_labels=("X",))]
+            print(json.dumps({"id": rid, "tokens": rec.tokens,
+                              "tags": tags, "spans": spans}), flush=True)
+
+    batch = []
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        req = json.loads(line)
+        tokens = req.get("tokens") or req.get("text", "").split()
+        rec = SentenceRecord(
+            tokens=list(tokens), tags={"ner": ["O"] * len(tokens)})
+        batch.append((req.get("id"), rec))
+        if len(batch) >= args.batch_size:
+            flush(batch)
+            batch = []
+    flush(batch)
+
+
 def cmd_speed(args):
     """Decode-throughput measurement (train.py --test_speed)."""
     from .config import ExperimentConfig
@@ -431,6 +506,16 @@ def main(argv=None):
     sp.add_argument("--keep_order", action="store_true")
     sp.add_argument("--save_embedding", action="store_true")
     sp.set_defaults(fn=cmd_parse)
+
+    sp = sub.add_parser("serve")
+    sp.add_argument("--config", required=True)
+    sp.add_argument("--batch_size", type=int, default=32)
+    sp.add_argument("--kb")
+    sp.add_argument("--lang", default="en")
+    sp.add_argument("--k", type=int, default=10)
+    sp.add_argument("--mode", default="sentence_link")
+    sp.add_argument("--engine_mode", default="exhaustive")
+    sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("speed")
     sp.add_argument("--config", required=True)

@@ -243,3 +243,63 @@ def test_cli_train_ner_dp(tmp_path, capsys):
     scores = json.loads(out)
     assert scores["micro_f1"] >= 0.9, scores
     assert (tmp_path / "nerdp_run" / "best-model.msgpack").exists()
+
+
+def test_cli_serve(tmp_path, capsys, monkeypatch):
+    """serve: JSONL on stdin -> micro-batched predictions on stdout
+    (an online surface the reference lacks; parity target is --parse)."""
+    import io
+    from kbner_tpu import cli
+
+    p, raw = make_config(tmp_path)
+    cli.main(["train", "--config", str(p)])
+    capsys.readouterr()  # drop training output
+
+    reqs = [
+        {"id": 1, "tokens": ["Alice", "Smith", "visited", "Berlin", "."]},
+        {"id": 2, "text": "The European Union met"},
+        {"id": 3, "tokens": ["Hello"]},
+    ]
+    monkeypatch.setattr(
+        "sys.stdin", io.StringIO("\n".join(json.dumps(r) for r in reqs)))
+    cli.main(["serve", "--config", str(p), "--batch_size", "2"])
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    assert [r["id"] for r in lines] == [1, 2, 3]
+    assert lines[0]["tokens"] == reqs[0]["tokens"]
+    assert len(lines[0]["tags"]) == 5
+    # the memorized toy model finds the PER and LOC spans
+    labels = {s["label"] for s in lines[0]["spans"]}
+    assert "PER" in labels and "LOC" in labels
+    assert all(len(r["tags"]) == len(r["tokens"]) for r in lines)
+
+
+def test_cli_serve_with_kb(tmp_path, capsys, monkeypatch):
+    """serve --kb: each request batch is retrieval-augmented (search +
+    fusion) before prediction; context tokens never leak into responses."""
+    import io
+    from kbner_tpu import cli
+
+    kb = tmp_path / "kb.jsonl"
+    kb.write_text("\n".join(json.dumps({
+        "title": t, "p_id": 0, "s_id": 0, "sentence": s,
+        "paragraph": s, "url": "u"}) for t, s in [
+            ("Berlin", "Berlin is the capital of Germany ."),
+            ("Alice", "Alice Smith is a person ."),
+            ("EU", "The European Union is an organisation ."),
+        ]))
+
+    p, raw = make_config(tmp_path)
+    cli.main(["train", "--config", str(p)])
+    capsys.readouterr()
+
+    reqs = [{"id": "a", "tokens": ["Alice", "visited", "Berlin"]}]
+    monkeypatch.setattr(
+        "sys.stdin", io.StringIO(json.dumps(reqs[0])))
+    cli.main(["serve", "--config", str(p), "--kb", str(kb)])
+    out = [json.loads(ln) for ln in
+           capsys.readouterr().out.strip().splitlines()]
+    assert len(out) == 1 and out[0]["id"] == "a"
+    assert out[0]["tokens"] == reqs[0]["tokens"]  # no context leakage
+    assert len(out[0]["tags"]) == 3
+    assert all(t != "S-X" for t in out[0]["tags"])
