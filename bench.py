@@ -44,6 +44,7 @@ VOCAB = 20_000 if SMOKE else 1_000_000
 Q_BATCH = 512  # throughput sweet spot on v5e (256: -18%, 1024: -4%)
 K = 10
 N_ITER = 10
+N_CAND = int(os.environ.get("BENCH_NCAND", "1792"))
 BASELINE_PER_CHIP = 10000.0 / 8.0
 
 
@@ -163,12 +164,16 @@ def bench_retrieval(on_tpu: bool) -> dict:
     log(f"[bench] build_encoded: {build_s:.1f}s "
         f"({N_DOCS / build_s:.0f} docs/s), Ld={index.doc_terms.shape[1]}")
 
-    # knobs from the r2 sweep at 4.19M docs: C=2048 lifts recall@10 to
-    # 0.991 (C=512: 0.984); M=16/budget-8192 slightly beat 12/4096
+    # knobs from the r2 sweeps at 4.19M docs (cost ~linear in C, sub-
+    # linear in budget): budget 12288 + C=1792 holds recall@10 at 0.991
+    # on the bench batch (8192/1536: 0.9895, 8192/1024: 0.9893 — under
+    # the bar; 16384/1792: 0.9918 but -11% q/s); deeper per-term windows
+    # buy recall more cheaply than a larger candidate set
     t0 = time.perf_counter()
     engine = RetrievalEngine(
         index, mode="pruned", use_pallas=on_tpu, rare_terms=16,
-        posting_budget=8192, n_candidates=2048)
+        posting_budget=int(os.environ.get("BENCH_BUDGET", "12288")),
+        n_candidates=N_CAND)
     # force CSR + upload completion
     jax.block_until_ready(engine._device_csr)
     upload_s = time.perf_counter() - t0

@@ -101,6 +101,33 @@ def _build_parser(config):
         make = lambda params: pt.BiaffineNERTrainer(
             model, params, corpus, tokenizer, label_dict,
             n_buckets=n_buckets, tag_layer=config.tag_layer)
+    elif config.targets == "classification":
+        from .models.classifier import (
+            TextClassifier, TextClassifierConfig, build_label_dictionary,
+            encode_labels)
+        from .train.parser_trainer import ClassificationTrainer
+
+        label_dict = build_label_dictionary(corpus.train)
+        multi = mc.get("multi_label", False)
+        model = TextClassifier(TextClassifierConfig(
+            encoder=enc_cfg, num_labels=max(len(label_dict), 2),
+            multi_label=multi, dropout=mc.get("dropout", 0.1)))
+        attach = lambda eb: encode_labels(eb.records, label_dict, eb)
+        make = lambda params: ClassificationTrainer(
+            model, params, corpus, tokenizer, label_dict,
+            multi_label=multi, n_buckets=n_buckets)
+    elif config.targets == "regression":
+        from .models.classifier import TextRegressor, TextRegressorConfig
+        from .train.parser_trainer import RegressionTrainer
+
+        model = TextRegressor(TextRegressorConfig(
+            encoder=enc_cfg, dropout=mc.get("dropout", 0.1)))
+
+        def attach(eb):
+            RegressionTrainer._attach_arrays(None, eb)
+
+        make = lambda params: RegressionTrainer(
+            model, params, corpus, tokenizer, n_buckets=n_buckets)
     else:
         raise ValueError(f"unknown targets: {config.targets}")
 
@@ -173,7 +200,8 @@ def cmd_train(args):
     config = ExperimentConfig.from_file(args.config)
     target_dir = config.resolve_target_dir()
     _setup_logging(target_dir)
-    if config.targets in ("dependency", "enhancedud", "ner_dp"):
+    if config.targets in ("dependency", "enhancedud", "ner_dp",
+                          "classification", "regression"):
         corpus, tokenizer, model, trainer = _build_parser(config)
         result = trainer.train(target_dir, config.make_train_config())
         logging.info("best dev: %s", result)

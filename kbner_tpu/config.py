@@ -53,6 +53,9 @@ class CorpusSpec:
     dev_file: str = "dev.txt"
     test_file: str = "test.txt"
     tag_to_bioes: Optional[str] = "ner"
+    # "column" (CoNLL) or "fasttext" (__label__X text — classification/
+    # regression corpora, the reference's ClassificationCorpus format)
+    format: str = "column"
 
 
 @dataclasses.dataclass
@@ -84,6 +87,14 @@ class ExperimentConfig:
     def from_dict(cls, raw: Dict[str, Any]) -> "ExperimentConfig":
         corpora = []
         for c in raw["corpora"]:
+            if c.get("format") == "fasttext":
+                corpora.append(CorpusSpec(
+                    name=c["name"], data_folder=c["data_folder"],
+                    column_format={}, format="fasttext",
+                    train_file=c.get("train_file", "train.txt"),
+                    dev_file=c.get("dev_file", "dev.txt"),
+                    test_file=c.get("test_file", "test.txt")))
+                continue
             if "column_format" not in c:
                 # named corpus: resolve format/files from the registry
                 # (the reference's datasets.py zoo, minus downloads)
@@ -125,15 +136,27 @@ class ExperimentConfig:
     # -- factories -----------------------------------------------------------
 
     def load_corpus(self) -> ListCorpus:
-        corpora = [
-            load_column_corpus(
+        corpora = []
+        for spec in self.corpora:
+            if spec.format == "fasttext":
+                from .data.conll import Corpus, read_fasttext_file
+
+                folder = Path(spec.data_folder)
+
+                def read(fname):
+                    p = folder / fname
+                    return read_fasttext_file(p) if p.exists() else []
+
+                corpora.append(Corpus(
+                    train=read(spec.train_file), dev=read(spec.dev_file),
+                    test=read(spec.test_file), name=spec.name))
+                continue
+            corpora.append(load_column_corpus(
                 spec.data_folder, spec.column_format,
                 train_file=spec.train_file, dev_file=spec.dev_file,
                 test_file=spec.test_file, comment_symbol=spec.comment_symbol,
                 tag_to_bioes=spec.tag_to_bioes, name=spec.name,
-            )
-            for spec in self.corpora
-        ]
+            ))
         return ListCorpus(corpora)
 
     def prepare_corpus(self, corpus: ListCorpus, tokenizer) -> ListCorpus:

@@ -312,13 +312,16 @@ def bm25_pruned_topk(
     use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Two-pass top-k: candidate generation from gathered rare-term postings
-    (host/native side produced ``cand_doc``/``cand_imp``), then exact BM25
+    (host/native side produced ``cand_doc``/``cand_imp``), then BM25
     rescoring of the top candidates.
 
     The device-side replacement for Lucene's WAND/MaxScore pruning: work
     scales with the rare terms' posting mass + n_candidates, not with the
-    collection size. Scores of returned docs are EXACT BM25; recall@k < 100%
-    only when a true top-k doc shares no rare term with the query.
+    collection size. Returned scores are exact BM25 under the f32 field
+    layout, and exact up to the impact quantization of the packed/coded
+    layouts (<= ~0.1% relative); recall@k < 100% only when a true top-k
+    doc shares no rare term with the query or falls below the top-C
+    pass-1 partial-score cut.
     """
     Q, P = cand_doc.shape
     SENTINEL = jnp.int32(2**31 - 2)

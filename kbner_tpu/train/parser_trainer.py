@@ -416,3 +416,109 @@ def _has_cycle_or_multiroot(heads: np.ndarray) -> bool:
             seen.add(x)
             x = int(heads[x - 1])
     return False
+
+
+class ClassificationTrainer(_TaskTrainer):
+    """Document classification (``targets: classification``, the
+    reference's TextClassifier task): CLS-pooled encoder + label head,
+    accuracy (single-label) / micro-F1 (multi-label) model selection."""
+
+    def __init__(self, model, params, corpus, tokenizer,
+                 label_dict: Dictionary, multi_label: bool = False,
+                 n_buckets: int = 0):
+        super().__init__(model, params, corpus, tokenizer, n_buckets)
+        self.label_dict = label_dict
+        self.multi_label = multi_label
+        self.score_key = "micro_f1" if multi_label else "accuracy"
+
+    def _attach_arrays(self, eb) -> None:
+        from ..models.classifier import encode_labels
+
+        encode_labels(eb.records, self.label_dict, eb)
+
+    def predict(self, eb) -> np.ndarray:
+        if self._decode_fn is None:
+            model = self.model
+
+            @jax.jit
+            def decode_fn(params, batch):
+                return model.apply(params, batch, method=model.predict)
+
+            self._decode_fn = decode_fn
+        return np.asarray(self._decode_fn(self.params, self._to_device(eb)))
+
+    def evaluate(self, records: Sequence[SentenceRecord],
+                 batch_size: int = 32) -> Dict[str, float]:
+        correct = total = 0
+        tp = n_pred = n_gold = 0
+        for eb in self._encode(records, batch_size, shuffle=False, seed=0):
+            pred = self.predict(eb)
+            if self.multi_label:
+                gold = eb.extra["label_multi"]
+                hit = (pred > 0) & (gold > 0)
+                tp += int(hit.sum())
+                n_pred += int((pred > 0).sum())
+                n_gold += int((gold > 0).sum())
+            else:
+                gold = eb.extra["label_ids"]
+                correct += int((pred == gold).sum())
+                total += len(gold)
+        if self.multi_label:
+            p = tp / max(n_pred, 1)
+            r = tp / max(n_gold, 1)
+            return {"micro_f1": 2 * p * r / max(p + r, 1e-12),
+                    "precision": p, "recall": r}
+        return {"accuracy": correct / max(total, 1)}
+
+    def predict_records(self, records: Sequence[SentenceRecord],
+                        batch_size: int = 32) -> List[List[str]]:
+        """Per-record predicted label names in the input order."""
+        names = self.label_dict.idx2item
+        out: Dict[int, List[str]] = {}
+        for eb in self._encode(records, batch_size, shuffle=False, seed=0):
+            pred = self.predict(eb)
+            for b, rec in enumerate(eb.records):
+                if self.multi_label:
+                    out[id(rec)] = [names[i] for i in
+                                    np.nonzero(pred[b])[0]]
+                else:
+                    out[id(rec)] = [names[int(pred[b])]]
+        return [out[id(r)] for r in records]
+
+
+class RegressionTrainer(_TaskTrainer):
+    """Document regression (``targets: regression``, the reference's
+    TextRegressor): numeric labels, negative-MSE model selection."""
+
+    score_key = "neg_mse"
+
+    def _attach_arrays(self, eb) -> None:
+        vals = np.zeros((len(eb.records),), dtype=np.float32)
+        for b, rec in enumerate(eb.records):
+            try:
+                vals[b] = float(rec.labels[0]) if rec.labels else 0.0
+            except ValueError:
+                vals[b] = 0.0
+        eb.extra["targets"] = vals
+
+    def predict(self, eb) -> np.ndarray:
+        if self._decode_fn is None:
+            model = self.model
+
+            @jax.jit
+            def decode_fn(params, batch):
+                return model.apply(params, batch, method=model.predict)
+
+            self._decode_fn = decode_fn
+        return np.asarray(self._decode_fn(self.params, self._to_device(eb)))
+
+    def evaluate(self, records: Sequence[SentenceRecord],
+                 batch_size: int = 32) -> Dict[str, float]:
+        se = n = 0.0
+        for eb in self._encode(records, batch_size, shuffle=False, seed=0):
+            pred = self.predict(eb)
+            gold = eb.extra["targets"]
+            se += float(((pred - gold) ** 2).sum())
+            n += len(gold)
+        mse = se / max(n, 1.0)
+        return {"neg_mse": -mse, "mse": mse}

@@ -303,3 +303,64 @@ def test_cli_serve_with_kb(tmp_path, capsys, monkeypatch):
     assert out[0]["tokens"] == reqs[0]["tokens"]  # no context leakage
     assert len(out[0]["tags"]) == 3
     assert all(t != "S-X" for t in out[0]["tags"])
+
+
+def test_cli_train_classification(tmp_path, capsys):
+    """targets: classification trains the CLS-pooled TextClassifier
+    through the CLI on a fastText-format corpus (the reference's
+    TextClassifier task surface) and memorizes the toy labels."""
+    from kbner_tpu import cli
+
+    cfg = {
+        "name": "toy-clf",
+        "targets": "classification",
+        "corpora": [{
+            "name": "CLF_TOY",
+            "format": "fasttext",
+            "data_folder": str(FIX / "clf_toy"),
+            "test_file": "train.txt",
+        }],
+        "tokenizer": {"type": "hash", "vocab_size": 997},
+        "model": {"encoder": "tiny"},
+        "train": {"max_epochs": 40, "batch_size": 8,
+                  "learning_rate": 5e-3, "lr_rate": 1.0},
+        "target_dir": str(tmp_path / "clf_run"),
+    }
+    p = tmp_path / "clf.yaml"
+    import yaml as _yaml
+    p.write_text(_yaml.safe_dump(cfg))
+    cli.main(["train", "--config", str(p)])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    scores = json.loads(out)
+    assert scores["accuracy"] >= 0.9, scores
+    assert (tmp_path / "clf_run" / "best-model.msgpack").exists()
+
+
+def test_cli_train_regression(tmp_path, capsys):
+    """targets: regression trains TextRegressor (reference TextRegressor)
+    end to end and fits the toy numeric labels."""
+    from kbner_tpu import cli
+
+    cfg = {
+        "name": "toy-reg",
+        "targets": "regression",
+        "corpora": [{
+            "name": "REG_TOY",
+            "format": "fasttext",
+            "data_folder": str(FIX / "reg_toy"),
+            "test_file": "train.txt",
+        }],
+        "tokenizer": {"type": "hash", "vocab_size": 997},
+        "model": {"encoder": "tiny"},
+        "train": {"max_epochs": 40, "batch_size": 8,
+                  "learning_rate": 5e-3, "lr_rate": 1.0},
+        "target_dir": str(tmp_path / "reg_run"),
+    }
+    p = tmp_path / "reg.yaml"
+    import yaml as _yaml
+    p.write_text(_yaml.safe_dump(cfg))
+    cli.main(["train", "--config", str(p)])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    scores = json.loads(out)
+    assert scores["mse"] <= 0.05, scores
+    assert (tmp_path / "reg_run" / "best-model.msgpack").exists()
