@@ -316,9 +316,11 @@ class BM25Index:
         flat_start = run_start.ravel()
         flat_valid = svalid.ravel()
         n_runs = int(flat_start.sum())
-        run_id = np.cumsum(flat_start) - 1  # pads inherit the prior run id
+        # int32 cumsum: 2x the scan bandwidth of the default int64 (safe:
+        # n_runs < N*L < 2^31 for any corpus this layout can hold anyway)
+        run_id = np.cumsum(flat_start, dtype=np.int32) - 1
         tf = np.bincount(
-            run_id[flat_valid], minlength=max(n_runs, 1)).astype(np.float64)
+            run_id[flat_valid], minlength=max(n_runs, 1)).astype(np.float32)
         starts = np.nonzero(flat_start)[0]
         term_of_run = sorted_terms.ravel()[starts]
         doc_of_run = starts // max(tok.shape[1], 1)
@@ -332,9 +334,9 @@ class BM25Index:
         # norm is the (optionally) quantized stored value.
         dl = (quantize_doc_lengths(doc_lens) if params.quantize_norms
               else doc_lens)
-        norm = params.k1 * (1.0 - params.b + params.b * dl / avgdl)  # [N]
-        impact = (idf[term_of_run].astype(np.float64) * tf
-                  / (tf + norm[doc_of_run])).astype(np.float32)
+        norm = (params.k1 * (1.0 - params.b + params.b * dl / avgdl)
+                ).astype(np.float32)  # [N]
+        impact = idf[term_of_run] * tf / (tf + norm[doc_of_run])
 
         nt = np.bincount(doc_of_run, minlength=max(n_docs, 1))
         ld_full = int(nt.max()) if n_runs else 1
