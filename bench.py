@@ -129,6 +129,55 @@ def bench_train_step(on_tpu: bool) -> dict:
         float(loss)
     dt = (time.perf_counter() - t0) / n_steps
 
+    extra = {}
+    if on_tpu:
+        # throughput-optimal shapes (the B=16 point mirrors the
+        # reference's fine-tuning recipe; large batches amortize the
+        # small-matmul overheads of the 768-wide encoder)
+        def mk(BB):
+            rng2 = np.random.RandomState(0)
+            return {
+                "input_ids": jnp.asarray(rng2.randint(
+                    4, enc.vocab_size - 1, size=(BB, S)).astype(np.int32)),
+                "attention_mask": jnp.ones((BB, S), jnp.int32),
+                "word_starts": jnp.asarray(np.tile(
+                    np.arange(1, W + 1, dtype=np.int32), (BB, 1))),
+                "word_mask": jnp.ones((BB, W), jnp.int32),
+                "tag_ids": jnp.asarray(rng2.randint(
+                    0, num_tags - 2, size=(BB, W)).astype(np.int32)),
+                "crf_mask": jnp.ones((BB, W), jnp.int32),
+                "lang_ids": jnp.zeros((BB,), jnp.int32),
+            }
+
+        b64 = mk(64)
+        params, opt_state, loss = step(params, opt_state, b64, key)
+        float(loss)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            params, opt_state, loss = step(params, opt_state, b64, key)
+            float(loss)
+        dt64 = (time.perf_counter() - t0) / 5
+        n_params = sum(int(np.prod(p.shape))
+                       for p in jax.tree_util.tree_leaves(params))
+        extra["train_b64_subtok_per_s"] = round(64 * S / dt64, 1)
+        extra["train_b64_mfu"] = round(
+            6 * n_params * 64 * S / dt64 / 197e12, 3)
+
+        @jax.jit
+        def dec(params, batch):
+            tags, _ = model.apply(params, batch, method=model.decode)
+            return tags
+
+        b128 = mk(128)
+        tags = dec(params, b128)
+        float(jnp.sum(tags[:1, :1]))
+        t0 = time.perf_counter()
+        for _ in range(5):
+            tags = dec(params, b128)
+            float(jnp.sum(tags[:1, :1]))
+        dtd = (time.perf_counter() - t0) / 5
+        extra["decode_sent_per_s"] = round(128 / dtd, 1)
+
     # MFU: fwd+bwd ~ 6 * params * tokens matmul FLOPs (remat adds one
     # extra forward: 8x instead of 6x) vs the v5e bf16 peak (197 TFLOP/s)
     n_params = sum(int(np.prod(p.shape))
@@ -139,6 +188,7 @@ def bench_train_step(on_tpu: bool) -> dict:
         "train_step_ms": round(dt * 1000.0, 2),
         "train_subtok_per_s": round(B * S / dt, 1),
         "train_shape": f"B{B}xS{S} xlmr-" + ("base-bf16" if on_tpu else "tiny"),
+        **extra,
     }
     if peak:
         out["train_mfu"] = round(flops / dt / peak, 3)
