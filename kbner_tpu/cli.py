@@ -42,6 +42,10 @@ def _build_parser(config):
     from .models import load_hf_checkpoint
     from .train import parser_trainer as pt
 
+    if config.data.get("doc_context") or config.data.get("stride_windows"):
+        raise ValueError(
+            "doc_context / stride_windows are NER-tagger data policies; "
+            f"they are not applied under targets: {config.targets}")
     corpus = config.load_corpus()
     tokenizer = config.make_tokenizer()
     enc_cfg = config.make_encoder_config(tokenizer)
@@ -224,6 +228,18 @@ def cmd_test(args):
     config = ExperimentConfig.from_file(args.config)
     target_dir = config.resolve_target_dir()
     _setup_logging(target_dir)
+    if config.targets in ("dependency", "enhancedud", "ner_dp",
+                          "classification", "regression"):
+        corpus, tokenizer, model, trainer = _build_parser(config)
+        best = target_dir / "best-model.msgpack"
+        final = target_dir / "final-model.msgpack"
+        trainer.load(best if best.exists() else final)
+        results = {}
+        for name, split in zip(corpus.targets, corpus.test_list):
+            if split:
+                results[name] = trainer.evaluate(split)
+        print(json.dumps(results, indent=2))
+        return
     corpus, tokenizer, tag_dict, model, trainer = _build(config)
     results = trainer.final_test(target_dir)
     print(json.dumps(results, indent=2))
@@ -246,6 +262,8 @@ def cmd_parse(args):
         data_dir = Path(args.target_dir)
         files = (sorted(data_dir.glob("*.txt"))
                  if data_dir.is_dir() else [data_dir])
+        out_dir = Path(args.out_dir) if args.out_dir else (
+            data_dir if data_dir.is_dir() else data_dir.parent)
         for f in files:
             records = read_column_file(
                 f, column_format, comment_symbol=comment,
@@ -253,7 +271,7 @@ def cmd_parse(args):
             for rec, layers in zip(records,
                                    trainer.predict_records(records)):
                 rec.tags.update(layers)
-            out = Path(args.out_dir or data_dir) / (f.stem + ".conllu")
+            out = out_dir / (f.stem + ".conllu")
             pred_layers = tuple(
                 {"dependency": ("head", "deprel"),
                  "enhancedud": ("deps",),
@@ -276,6 +294,8 @@ def cmd_parse(args):
     comment = config.corpora[0].comment_symbol
     data_dir = Path(args.target_dir)
     files = sorted(data_dir.glob("*.txt")) if data_dir.is_dir() else [data_dir]
+    out_dir = Path(args.out_dir) if args.out_dir else (
+        data_dir if data_dir.is_dir() else data_dir.parent)
     for f in files:
         records = read_column_file(
             f, column_format, comment_symbol=comment, tag_to_bioes=None)
@@ -283,7 +303,7 @@ def cmd_parse(args):
             records, sort_by_length=not args.keep_order)
         for rec, pred in zip(records, preds):
             rec.tags["pred"] = pred
-        out = Path(args.out_dir or data_dir) / (f.stem + ".conllu")
+        out = out_dir / (f.stem + ".conllu")
         write_column_file(out, records, layers=("pred",))
         logging.info("wrote %s", out)
 
@@ -438,6 +458,9 @@ def cmd_speed(args):
     from .config import ExperimentConfig
 
     config = ExperimentConfig.from_file(args.config)
+    if config.targets != "ner":
+        raise ValueError("cli speed measures the NER tagger decode path; "
+                         f"targets: {config.targets} is not supported")
     target_dir = config.resolve_target_dir()
     _setup_logging(None)
     corpus, tokenizer, tag_dict, model, trainer = _build(config)

@@ -30,13 +30,18 @@ class CorpusEntry:
 
 def _multiconer(lang: str) -> CorpusEntry:
     """SemEval-2022 MultiCoNER track layout (the KB-NER target datasets;
-    reference config blocks, ``config/test.yaml:46-120``)."""
+    reference config blocks, ``config/test.yaml:46-120``).
+
+    Language tracks are 'XX-Name' (code before '-'); the MIX/MULTI
+    tracks are 'MIX_Code_mixed'/'MULTI_Multilingual' (code before '_'),
+    shipping as mix_train.conll / multi_train.conll."""
+    code = lang.split("-")[0].split("_")[0].lower()
     return CorpusEntry(
         column_format={0: "text", 1: "pos", 2: "upos", 3: "ner"},
         folder=lang,
-        train_file=f"{lang.split('-')[0].lower()}_train.conll",
-        dev_file=f"{lang.split('-')[0].lower()}_dev.conll",
-        test_file=f"{lang.split('-')[0].lower()}_test.conll",
+        train_file=f"{code}_train.conll",
+        dev_file=f"{code}_dev.conll",
+        test_file=f"{code}_test.conll",
         comment_symbol="# id",
     )
 

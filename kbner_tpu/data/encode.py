@@ -222,14 +222,24 @@ def make_batches(
         lengths = [subtoken_length(tokenizer, r.tokens) for r in records]
     if n_buckets:
         # kmeans length buckets (parser loader, utils/data.py:48): batches
-        # are drawn within a bucket so padded shapes cluster tightly
+        # are drawn within a bucket so padded shapes cluster tightly; a
+        # token_budget caps the summed subtokens of each in-bucket batch
+        # (it used to be silently ignored here)
         _, clusters = kmeans(lengths, min(n_buckets, len(set(lengths))),
                              seed=seed)
-        chunks = [
-            cluster[i:i + batch_size]
-            for cluster in clusters
-            for i in range(0, len(cluster), batch_size)
-        ]
+        chunks = []
+        for cluster in clusters:
+            cur, cur_tokens = [], 0
+            for i in cluster:
+                n = lengths[i] + 2
+                if cur and (len(cur) >= batch_size or (
+                        token_budget and cur_tokens + n > token_budget)):
+                    chunks.append(cur)
+                    cur, cur_tokens = [], 0
+                cur.append(i)
+                cur_tokens += n
+            if cur:
+                chunks.append(cur)
         if shuffle:
             np.random.RandomState(seed).shuffle(chunks)
         return [

@@ -150,6 +150,8 @@ class BiaffineParser(nn.Module):
             arc_ll = jnp.take_along_axis(
                 logp_arc, jnp.maximum(gold_heads, 0)[:, :, None],
                 axis=2)[..., 0]
+            # unannotated heads (< 0) carry no arc supervision either
+            arc_ll = jnp.where(gold_heads >= 0, arc_ll, 0.0)
 
         rel_logits = s_rel[:, 1:, :, :]  # [B, W, W+1, R]
         rel_at_gold = jnp.take_along_axis(
@@ -364,7 +366,12 @@ def encode_dependency_arrays(
     rel_dict=None,
 ) -> None:
     """Attach ``heads``/``rel_ids`` int arrays parsed from CoNLL-U string
-    layers (column_format {6: 'head', 7: 'deprel'})."""
+    layers (column_format {6: 'head', 7: 'deprel'}).
+
+    Unannotated head cells ('_' in partially annotated treebanks) encode
+    as -1: the tree-CRF marginalizes them under ``partial: true``
+    (reference ``alg.py:105-110``) and the CE arc loss masks them —
+    never train them as gold-attached to ROOT."""
     B, W = eb.word_mask.shape
     heads = np.zeros((B, W), dtype=np.int32)
     rel_ids = np.zeros((B, W), dtype=np.int32)
@@ -375,7 +382,7 @@ def encode_dependency_arrays(
             try:
                 heads[b, w] = int(hs[w])
             except ValueError:
-                heads[b, w] = 0
+                heads[b, w] = -1  # unannotated
             if rel_dict is not None and w < len(rs):
                 rel_ids[b, w] = rel_dict.item2idx.get(rs[w], 0)
     eb.extra["heads"] = heads

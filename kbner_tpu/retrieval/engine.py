@@ -183,8 +183,9 @@ class RetrievalEngine:
                 # the gather count IS the optimization; it also halves
                 # the HBM footprint. code_bits adapts to the vocab
                 # (>= 12 bits up to 1M terms -> <= 0.1% relative error;
-                # a vocab too large for 8 code bits falls back to the
-                # two-array 16-bit layout).
+                # a vocab too large for 8 code bits raises — shard the
+                # vocabulary, or wire the two-array 16-bit field layout
+                # that bm25_pruned_topk also accepts).
                 packed_rows, tb, lo, step = _pack_doc_rows(
                     dt, di, len(idx.vocab))
                 self._row_scales[name] = (lo, step)
@@ -242,31 +243,29 @@ class RetrievalEngine:
         lanes, guard = 128, 32
         if ss >= 0xFFFFFF:
             raise ValueError(f"shard size {ss} needs > 24-bit doc ids")
+        from .index import pack_postings
+
         # global quantization scale over every impact (shards share it)
         _, lo, step = log_quantize(
             di_padded[dt_padded >= 0].astype(np.float32), bits=8)
         self._csr_scale = (lo, step)
-        levels = (1 << 8) - 2
         offs, pks = [], []
         for s in range(S):
             sl_t = dt_padded[s * ss:(s + 1) * ss]
             sl_i = di_padded[s * ss:(s + 1) * ss]
             valid = sl_t >= 0
             terms = sl_t[valid]
-            docs = np.nonzero(valid)[0].astype(np.uint32)
+            docs = np.nonzero(valid)[0].astype(np.int32)
             imps = sl_i[valid].astype(np.float32)
             order = np.lexsort((-imps, terms))
             df = np.bincount(terms[order], minlength=V)
             off = np.zeros(V + 1, dtype=np.int32)
             np.cumsum(df, out=off[1:])
             offs.append(off)
-            imps_s = imps[order]
-            codes = np.zeros(imps_s.shape, np.uint32)
-            pos = imps_s > 0
-            codes[pos] = np.clip(
-                np.rint((np.log(imps_s[pos]) - lo) / step),
-                0, levels).astype(np.uint32) + 1
-            pks.append(((codes << 24) | docs[order]).view(np.int32))
+            pk, _, _ = pack_postings(
+                docs[order], imps[order], lanes=lanes, guard_rows=0,
+                scale=(lo, step))
+            pks.append(pk.ravel())
         nnz = max((len(p) for p in pks), default=1)
         nr = (nnz + lanes - 1) // lanes + guard
         packed = np.full((S, nr * lanes), -1, np.int32)

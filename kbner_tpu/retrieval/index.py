@@ -103,18 +103,30 @@ def quantize_doc_lengths(dls: np.ndarray) -> np.ndarray:
 
 
 def pack_postings(p_doc: np.ndarray, p_imp: np.ndarray, lanes: int = 128,
-                  guard_rows: int = 32
+                  guard_rows: int = 32,
+                  scale: Optional[Tuple[float, float]] = None,
                   ) -> Tuple[np.ndarray, float, float]:
     """Row-block postings into one int32 word each:
     ``(code8 << 24) | doc_id`` (doc ids must fit 24 bits per shard).
     Padding slots are -1 (doc field 0xFFFFFF, never a valid id).
-    Returns (packed [NR, lanes] int32, lo, step)."""
+    ``scale`` supplies a precomputed (lo, step) so multiple shards can
+    share one quantization scale. Returns
+    (packed [NR, lanes] int32, lo, step)."""
     nnz = len(p_doc)
     if nnz and int(p_doc.max()) >= 0xFFFFFF:
         raise ValueError(
             f"doc id {int(p_doc.max())} needs > 24 bits; shard the index "
             "(per-shard ids are local) or use the unpacked csr_rows layout")
-    codes, lo, step = log_quantize(p_imp, bits=8)
+    if scale is None:
+        codes, lo, step = log_quantize(p_imp, bits=8)
+    else:
+        lo, step = scale
+        levels = (1 << 8) - 2
+        codes = np.zeros(p_imp.shape, np.uint16)
+        pos = p_imp > 0
+        codes[pos] = np.clip(
+            np.rint((np.log(p_imp[pos]) - lo) / step),
+            0, levels).astype(np.uint16) + 1
     nr = (nnz + lanes - 1) // lanes + guard_rows
     packed = np.full((nr * lanes,), -1, dtype=np.int32)
     packed[:nnz] = ((codes.astype(np.uint32) << 24)
@@ -238,9 +250,18 @@ class BM25Index:
         from .analyzer import cjk_analyze
         if analyzer in (standard_analyze, cjk_analyze) and len(docs) > 256:
             from ..native import analyze_docs
-            analyzed = analyze_docs(
-                list(docs),
-                mode="cjk" if analyzer is cjk_analyze else "standard")
+            mode = "cjk" if analyzer is cjk_analyze else "standard"
+            # chunk the native calls: analyze_docs builds ~40x the input
+            # bytes in offset/flag temporaries, so a single whole-corpus
+            # call at wiki scale would exhaust host RAM
+            chunk = 1 << 18
+            analyzed = []
+            for i in range(0, len(docs), chunk):
+                part = analyze_docs(list(docs[i:i + chunk]), mode=mode)
+                if part is None:  # native lib unavailable
+                    analyzed = None
+                    break
+                analyzed.extend(part)
         if analyzed is None:
             analyzed = [analyzer(doc) for doc in docs]
         n_docs = len(docs)

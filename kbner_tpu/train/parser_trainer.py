@@ -231,13 +231,19 @@ class ParserTrainer(_TaskTrainer):
         out: Dict[int, Dict[str, List[str]]] = {}
         for eb in self._encode(records, batch_size, shuffle=False, seed=0):
             heads, rels = self.predict(eb)
+            W = heads.shape[1]
             for b, rec in enumerate(eb.records):
-                n = len(rec.tokens)
+                # the subtoken budget can truncate a sentence (W < tokens);
+                # pad the overflow with ROOT/dep so layers stay aligned
+                n = min(len(rec.tokens), W)
+                pad = len(rec.tokens) - n
                 out[id(rec)] = {
-                    "head": [str(int(h)) for h in heads[b, :n]],
+                    "head": [str(int(h)) for h in heads[b, :n]]
+                            + ["0"] * pad,
                     "deprel": [self.rel_dict.idx2item[int(r)]
                                if int(r) < len(self.rel_dict.idx2item)
-                               else "dep" for r in rels[b, :n]],
+                               else "dep" for r in rels[b, :n]]
+                              + ["dep"] * pad,
                 }
         return [out[id(r)] for r in records]
 
@@ -248,7 +254,8 @@ class ParserTrainer(_TaskTrainer):
             heads, rels = self.predict(eb)
             gold_h = eb.extra["heads"]
             gold_r = eb.extra["rel_ids"]
-            wm = np.asarray(eb.word_mask) > 0
+            # unannotated heads (-1, partial treebanks) don't score
+            wm = (np.asarray(eb.word_mask) > 0) & (gold_h >= 0)
             total += int(wm.sum())
             hit = (heads == gold_h) & wm
             correct_h += int(hit.sum())
@@ -300,9 +307,13 @@ class SemDepTrainer(_TaskTrainer):
         names = self.rel_dict.idx2item
         for eb in self._encode(records, batch_size, shuffle=False, seed=0):
             arcs, rels = self.predict(eb)
+            W = arcs.shape[1]
             for b, rec in enumerate(eb.records):
                 cells = []
                 for w in range(len(rec.tokens)):
+                    if w >= W:  # truncated by the subtoken budget
+                        cells.append("_")
+                        continue
                     hs = np.nonzero(arcs[b, w])[0]
                     cells.append("|".join(
                         f"{int(h)}:{names[int(rels[b, w, h])] if int(rels[b, w, h]) < len(names) else 'dep'}"

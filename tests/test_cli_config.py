@@ -169,6 +169,12 @@ def test_cli_train_dependency(tmp_path, capsys):
     assert scores["uas"] >= 0.9, scores  # memorized the toy treebank
     assert (tmp_path / "dep_run" / "best-model.msgpack").exists()
 
+    # cli test routes through the parser trainer's evaluate
+    cli.main(["test", "--config", str(p)])
+    test_out = capsys.readouterr().out
+    results = json.loads(test_out[test_out.index("{"):])
+    assert results["DEP_TOY"]["uas"] >= 0.9
+
     # --parse writes CoNLL-U predictions (head + deprel columns)
     cli.main(["parse", "--config", str(p),
               "--target_dir", str(FIX / "dep_toy" / "dev.txt"),
