@@ -396,6 +396,9 @@ def cmd_serve(args):
     from .data.tag_schemes import get_spans
 
     config = ExperimentConfig.from_file(args.config)
+    if config.targets != "ner":
+        raise ValueError("cli serve serves the NER tagger; "
+                         f"targets: {config.targets} is not supported")
     target_dir = config.resolve_target_dir()
     _setup_logging(None)
     corpus, tokenizer, tag_dict, model, trainer = _build(config)
