@@ -41,7 +41,9 @@ SMOKE = bool(int(os.environ.get("BENCH_SMOKE", "0")))
 N_DOCS = int(os.environ.get(
     "BENCH_NDOCS", str(1 << 15 if SMOKE else 1 << 22)))
 VOCAB = 20_000 if SMOKE else 1_000_000
-Q_BATCH = 512  # throughput sweet spot on v5e (256: -18%, 1024: -4%)
+Q_BATCH = int(os.environ.get("BENCH_QBATCH", "256"))
+# throughput sweet spot on v5e with the packed layouts (measured at 1M
+# docs, pipelined: 256: 5294 q/s, 512: 4801, 1024: 4036)
 K = 10
 N_ITER = 10
 N_CAND = int(os.environ.get("BENCH_NCAND", "1792"))
