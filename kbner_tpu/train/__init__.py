@@ -3,6 +3,13 @@ from .optim import (
     linear_warmup_linear_decay,
     make_finetune_optimizer,
 )
+from .parser_trainer import (
+    BiaffineNERTrainer,
+    ClassificationTrainer,
+    ParserTrainer,
+    RegressionTrainer,
+    SemDepTrainer,
+)
 from .trainer import FinetuneTrainer, TrainConfig
 
 __all__ = [
@@ -11,4 +18,9 @@ __all__ = [
     "make_finetune_optimizer",
     "linear_warmup_linear_decay",
     "inverse_sqrt_schedule",
+    "ParserTrainer",
+    "SemDepTrainer",
+    "BiaffineNERTrainer",
+    "ClassificationTrainer",
+    "RegressionTrainer",
 ]
