@@ -450,6 +450,28 @@ def bm25_pruned_topk_rows(
     what keeps recall@k high at small caps (MaxScore/impact-ordered
     pruning).
     """
+    cand_doc, cand_imp = gather_pruned_candidates(
+        rare_terms, offsets, packed_rows, per_term_cap, imp_lo, imp_step)
+    return bm25_pruned_topk(
+        cand_doc, cand_imp, fields, n_real_docs=n_real_docs, k=k,
+        n_candidates=n_candidates, max_dup_shifts=max_dup_shifts,
+        use_pallas=use_pallas)
+
+
+def gather_pruned_candidates(
+    rare_terms: jnp.ndarray,  # [Q, M] int32 pass-1 term ids (-1 pad)
+    offsets: jnp.ndarray,  # [V+1] int32 CSR element offsets
+    packed_rows: jnp.ndarray,  # [NR, 128] int32 (code8 << 24) | doc_id
+    per_term_cap: int,
+    imp_lo: float | jnp.ndarray,
+    imp_step: float | jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pass-1 candidate gather: each rare term's capped posting window as
+    (cand_doc [Q, P], cand_imp [Q, P]) with -1 pads. Factored out of
+    :func:`bm25_pruned_topk_rows` so multi-field engines can pool
+    candidates from several CSRs (ES bool.should finds a doc through ANY
+    matching field, generate_data.py:52-55 — text-only candidate
+    generation would miss docs reachable only via their title)."""
     Q, M = rare_terms.shape
     cap = per_term_cap
     R = (cap + 127) // 128 + 1  # +1 row covers any off%128 misalignment
@@ -470,10 +492,7 @@ def bm25_pruned_topk_rows(
     valid = (g >= o[:, :, None, None]) & (g < (o + eff)[:, :, None, None])
     cand_doc = jnp.where(valid, d_rows, -1).reshape(Q, -1)
     cand_imp = jnp.where(valid, i_rows, 0.0).reshape(Q, -1)
-    return bm25_pruned_topk(
-        cand_doc, cand_imp, fields, n_real_docs=n_real_docs, k=k,
-        n_candidates=n_candidates, max_dup_shifts=max_dup_shifts,
-        use_pallas=use_pallas)
+    return cand_doc, cand_imp
 
 
 @functools.partial(

@@ -148,6 +148,8 @@ class RetrievalEngine:
         self._row_scales: Dict[str, Tuple[float, float]] = {}
         self._row_term_bits: Dict[str, int] = {}
         self._csr_scale: Tuple[float, float] = (0.0, 1.0)
+        self._device_csr_title = None
+        self._csr_scale_title: Tuple[float, float] = (0.0, 1.0)
         self._shard_size = 0
         self._upload()
 
@@ -193,19 +195,24 @@ class RetrievalEngine:
                 if self.mesh is None:
                     # doc-major rows for pass-2 rescoring gathers
                     self._device_rows[name] = (jnp.asarray(packed_rows),)
+                    # row-blocked impact-ordered PACKED CSR postings
+                    # resident in HBM ((code8 << 24) | doc per int32):
+                    # per-query traffic is just the [Q, M] rare-term
+                    # ids; windows are fetched as single 128-lane row
+                    # gathers (bm25_pruned_topk_rows). The title field
+                    # gets its own CSR so entity-boosted queries can
+                    # reach docs through the title alone (bool.should)
+                    idx_obj = (self.text_index if name == "text"
+                               else self.title_index)
+                    off32, packed, clo, cstep = idx_obj.csr_rows_packed()
                     if name == "text":
-                        # row-blocked impact-ordered PACKED CSR postings
-                        # resident in HBM ((code8 << 24) | doc per int32):
-                        # per-query traffic is just the [Q, M] rare-term
-                        # ids; windows are fetched as single 128-lane row
-                        # gathers (bm25_pruned_topk_rows)
-                        off32, packed, clo, cstep = \
-                            self.text_index.csr_rows_packed()
                         self._csr_scale = (clo, cstep)
                         self._device_csr = (
-                            jnp.asarray(off32),
-                            jnp.asarray(packed),
-                        )
+                            jnp.asarray(off32), jnp.asarray(packed))
+                    else:
+                        self._csr_scale_title = (clo, cstep)
+                        self._device_csr_title = (
+                            jnp.asarray(off32), jnp.asarray(packed))
                 else:
                     # sharded pruned: rows stacked [S, shard, Ld] over
                     # 'data'; each shard gets a local CSR over its slice
@@ -216,8 +223,15 @@ class RetrievalEngine:
                         jax.device_put(
                             packed_rows.reshape(S, ss, -1), rows_sharding),
                     )
+                    idx_obj = (self.text_index if name == "text"
+                               else self.title_index)
+                    csr, scale = self._build_shard_csr(dt, di, idx_obj)
                     if name == "text":
-                        self._device_csr = self._build_shard_csr(dt, di)
+                        self._device_csr = csr
+                        self._csr_scale = scale
+                    else:
+                        self._device_csr_title = csr
+                        self._csr_scale_title = scale
                 continue
             dtt = np.ascontiguousarray(dt.T)  # [Ld, N]
             dit = np.ascontiguousarray(di.T)
@@ -230,25 +244,24 @@ class RetrievalEngine:
                 dit = jnp.asarray(dit)
             self._device_fields[name] = (dtt, dit)
 
-    def _build_shard_csr(self, dt_padded: np.ndarray, di_padded: np.ndarray):
+    def _build_shard_csr(self, dt_padded: np.ndarray, di_padded: np.ndarray,
+                         index: Optional[BM25Index] = None):
         """Per-shard local row-blocked PACKED CSR postings, stacked
         [S, ...] and sharded over 'data'. Impact-ordered within each term
         (csr_rows semantics); one quantization scale shared across shards
         so the jitted closure sees one (lo, step) pair; padding rows carry
-        -1 and never enter any window."""
-        from .index import log_quantize
+        -1 and never enter any window. Returns ((offsets, packed),
+        (lo, step))."""
+        from .index import log_quantize, pack_postings
 
         S, ss = self.n_shards, self._shard_size
-        V = len(self.text_index.vocab)
+        V = len((index or self.text_index).vocab)
         lanes, guard = 128, 32
         if ss >= 0xFFFFFF:
             raise ValueError(f"shard size {ss} needs > 24-bit doc ids")
-        from .index import pack_postings
-
         # global quantization scale over every impact (shards share it)
         _, lo, step = log_quantize(
             di_padded[dt_padded >= 0].astype(np.float32), bits=8)
-        self._csr_scale = (lo, step)
         offs, pks = [], []
         for s in range(S):
             sl_t = dt_padded[s * ss:(s + 1) * ss]
@@ -276,7 +289,7 @@ class RetrievalEngine:
         return (
             jax.device_put(np.stack(offs), sh2),
             jax.device_put(packed.reshape(S, nr, lanes), sh3),
-        )
+        ), (lo, step)
 
     # -- search ---------------------------------------------------------------
 
@@ -337,15 +350,19 @@ class RetrievalEngine:
 
         return run
 
-    def _select_rare_terms(self, q_terms: np.ndarray) -> np.ndarray:
+    def _select_rare_terms(self, q_terms: np.ndarray,
+                           index: Optional[BM25Index] = None,
+                           df_cap: Optional[int] = None) -> np.ndarray:
         """Per query: the ``rare_terms`` lowest-df in-vocab terms with
         df <= df_cap (MaxScore-style pass-1 term selection)."""
-        df = self.text_index.csr[3]
+        index = index or self.text_index
+        df = index.csr[3]
+        cap = df_cap if df_cap is not None else self.df_cap
         Q, Lq = q_terms.shape
         M = self.rare_terms
         term_df = np.where(
             q_terms >= 0, df[np.maximum(q_terms, 0)], np.iinfo(np.int64).max)
-        term_df = np.where(term_df <= self.df_cap, term_df,
+        term_df = np.where(term_df <= cap, term_df,
                            np.iinfo(np.int64).max)
         order = np.argsort(term_df, axis=1, kind="stable")[:, :M]
         rare = np.take_along_axis(q_terms, order, axis=1).astype(np.int32)
@@ -362,9 +379,17 @@ class RetrievalEngine:
         path (measured: a no-op dispatch is as expensive as the whole
         device-side search); packing makes it a single upload."""
         rare = self._select_rare_terms(q_terms)
-        segs = [rare.astype(np.int32),
-                np.ascontiguousarray(q_terms, np.int32),
-                np.ascontiguousarray(q_weights, np.float32).view(np.int32)]
+        segs = [rare.astype(np.int32)]
+        if extra_fields and self._device_csr_title is not None:
+            # a second rare block drives title-CSR candidate generation:
+            # ES bool.should reaches a doc through ANY field, so a doc
+            # matching only the entity's title terms must still become a
+            # candidate
+            tcap = max(256, self.title_index.n_docs // 20)
+            segs.append(self._select_rare_terms(
+                extra_fields[0][0], index=self.title_index, df_cap=tcap))
+        segs += [np.ascontiguousarray(q_terms, np.int32),
+                 np.ascontiguousarray(q_weights, np.float32).view(np.int32)]
         lqs = [q_terms.shape[1]]
         for (ft, fw) in extra_fields:
             segs.append(np.ascontiguousarray(ft, np.int32))
@@ -392,10 +417,12 @@ class RetrievalEngine:
         packed, lqs = self._pack_queries(q_terms, q_weights, extra)
         per_term_cap = max(1, self.posting_budget // self.rare_terms)
         run = self._pruned_topk_fn(k, lqs, per_term_cap)
-        offsets, p_packed = self._device_csr
+        csr_arrays = list(self._device_csr)
+        if extra and self._device_csr_title is not None:
+            csr_arrays += list(self._device_csr_title)
         row_arrays = [a for name in (["text"] + (["title"] if extra else []))
                       for a in self._device_rows[name]]
-        return run(jnp.asarray(packed), offsets, p_packed, *row_arrays)
+        return run(jnp.asarray(packed), *csr_arrays, *row_arrays)
 
     def _search_pruned(
         self, q_terms, q_weights, k, title_terms, title_weights,
@@ -419,7 +446,6 @@ class RetrievalEngine:
 
         mesh = self.mesh
         n_cand = self.n_candidates
-        m_dup = self.rare_terms
         M = self.rare_terms
         n_real = self.text_index.n_docs
         csr_lo, csr_step = self._csr_scale
@@ -427,13 +453,23 @@ class RetrievalEngine:
         field_names = ["text", "title"][: len(lqs)]
         row_scales = [self._row_scales[n] for n in field_names]
         row_tbits = [self._row_term_bits[n] for n in field_names]
+        # entity-boosted queries pool candidates from the title CSR too
+        # (bool.should reaches a doc through ANY field); the packed query
+        # then carries TWO rare blocks, and a doc can appear once per
+        # rare term of each
+        with_title_csr = (len(lqs) > 1
+                          and self._device_csr_title is not None)
+        n_rare_blocks = 2 if with_title_csr else 1
+        m_dup = M * n_rare_blocks
+        tcsr_lo, tcsr_step = self._csr_scale_title
 
-        from ..ops.bm25 import bm25_pruned_topk_rows
+        from ..ops.bm25 import bm25_pruned_topk, gather_pruned_candidates
 
         def unpack_queries(packed, row_arrays):
-            rare = packed[:, :M]
+            rares = [packed[:, i * M:(i + 1) * M]
+                     for i in range(n_rare_blocks)]
             fields = []
-            pos = M
+            pos = M * n_rare_blocks
             for f, lq in enumerate(lqs):
                 qt = packed[:, pos: pos + lq]
                 qw = jax.lax.bitcast_convert_type(
@@ -442,7 +478,20 @@ class RetrievalEngine:
                 lo, step = row_scales[f]
                 fields.append(
                     (qt, qw, row_arrays[f], row_tbits[f], lo, step))
-            return rare, tuple(fields)
+            return rares, tuple(fields)
+
+        def pooled_topk(rares, csrs, fields, n_docs):
+            cds, cis = [], []
+            for rare, (off, pk, lo, step) in zip(rares, csrs):
+                cd, ci = gather_pruned_candidates(
+                    rare, off, pk, per_term_cap, lo, step)
+                cds.append(cd)
+                cis.append(ci)
+            return bm25_pruned_topk(
+                jnp.concatenate(cds, axis=1),
+                jnp.concatenate(cis, axis=1),
+                fields, n_real_docs=n_docs, k=k, n_candidates=n_cand,
+                max_dup_shifts=m_dup, use_pallas=use_pal)
 
         def pack_result(scores, ids):
             return jnp.concatenate(
@@ -451,13 +500,15 @@ class RetrievalEngine:
 
         if mesh is None:
             @jax.jit
-            def run(packed, offsets, p_packed, *row_arrays):
-                rare, fields = unpack_queries(packed, row_arrays)
-                scores, ids = bm25_pruned_topk_rows(
-                    rare, offsets, p_packed, fields,
-                    n_real_docs=n_real, k=k, n_candidates=n_cand,
-                    per_term_cap=per_term_cap, max_dup_shifts=m_dup,
-                    imp_lo=csr_lo, imp_step=csr_step, use_pallas=use_pal)
+            def run(packed, *arrays):
+                n_csr = 2 * n_rare_blocks
+                csr_flat, row_arrays = arrays[:n_csr], arrays[n_csr:]
+                csrs = [(csr_flat[0], csr_flat[1], csr_lo, csr_step)]
+                if with_title_csr:
+                    csrs.append(
+                        (csr_flat[2], csr_flat[3], tcsr_lo, tcsr_step))
+                rares, fields = unpack_queries(packed, row_arrays)
+                scores, ids = pooled_topk(rares, csrs, fields, n_real)
                 return pack_result(scores, ids)
 
             cached[key] = run
@@ -465,15 +516,17 @@ class RetrievalEngine:
 
         shard_size = self._shard_size
 
-        def shard_fn(packed, off_s, pk_s, *row_arrays):
+        def shard_fn(packed, *arrays):
+            n_csr = 2 * n_rare_blocks
+            csr_flat, row_arrays = arrays[:n_csr], arrays[n_csr:]
             shard_idx = jax.lax.axis_index(DATA_AXIS)
             local_rows = tuple(r[0] for r in row_arrays)
-            rare, fields = unpack_queries(packed, local_rows)
-            s_scores, s_ids = bm25_pruned_topk_rows(
-                rare, off_s[0], pk_s[0], fields,
-                n_real_docs=shard_size, k=k, n_candidates=n_cand,
-                per_term_cap=per_term_cap, max_dup_shifts=m_dup,
-                imp_lo=csr_lo, imp_step=csr_step, use_pallas=use_pal)
+            csrs = [(csr_flat[0][0], csr_flat[1][0], csr_lo, csr_step)]
+            if with_title_csr:
+                csrs.append(
+                    (csr_flat[2][0], csr_flat[3][0], tcsr_lo, tcsr_step))
+            rares, fields = unpack_queries(packed, local_rows)
+            s_scores, s_ids = pooled_topk(rares, csrs, fields, shard_size)
             s_ids = jnp.where(
                 s_ids >= 0, s_ids + shard_idx * shard_size, -1)
             all_scores = jax.lax.all_gather(s_scores, DATA_AXIS)
@@ -484,13 +537,14 @@ class RetrievalEngine:
             top_ids = jnp.take_along_axis(i, idx, axis=1)
             return pack_result(top_scores, top_ids)
 
+        csr_spec = (P(DATA_AXIS, None), P(DATA_AXIS, None, None)
+                    ) * n_rare_blocks
         row_spec = tuple(P(DATA_AXIS, None, None)
                          for _ in range(len(lqs)))
         run = jax.jit(jax.shard_map(
             shard_fn,
             mesh=mesh,
-            in_specs=(P(), P(DATA_AXIS, None),
-                      P(DATA_AXIS, None, None)) + row_spec,
+            in_specs=(P(),) + csr_spec + row_spec,
             out_specs=P(),
             check_vma=False,
         ))

@@ -240,3 +240,29 @@ def test_pruned_pallas_rescore_end_to_end(corpus_index):
         assert [d.doc_id for d in ra] == [d.doc_id for d in rb]
         np.testing.assert_allclose(
             [d.score for d in ra], [d.score for d in rb], rtol=1e-5)
+
+
+def test_pruned_entity_boost_matches_exhaustive(corpus_index):
+    """Entity-boosted (title-field) pruned search returns the same docs
+    as the exhaustive engine — the packed-query multi-field path
+    (generate_data.py's bool.should + title boost 2.0 semantics)."""
+    docs, index = corpus_index
+    rng = np.random.RandomState(5)
+    titles = [" ".join(d.split()[:2]) for d in docs]
+    tidx = BM25Index.build(titles, params=BM25Params(quantize_norms=False),
+                           pad_docs_to=64)
+    queries = [docs[i] for i in rng.randint(0, len(docs), 8)]
+    ents = [[t] for t in (titles[i] for i in rng.randint(0, len(docs), 8))]
+
+    exact = RetrievalEngine(index, title_index=tidx, use_pallas=False,
+                            block_d=64)
+    pruned = RetrievalEngine(index, title_index=tidx, mode="pruned",
+                             rare_terms=12, posting_budget=4096,
+                             n_candidates=256)
+    re_ = exact.search(queries, k=5, entity_queries=ents)
+    rp = pruned.search(queries, k=5, entity_queries=ents)
+    for a, b in zip(re_, rp):
+        assert {d.doc_id for d in a} == {d.doc_id for d in b}
+        np.testing.assert_allclose(
+            sorted(d.score for d in a), sorted(d.score for d in b),
+            rtol=2e-3)  # 16-bit log-quantized title/text impacts
