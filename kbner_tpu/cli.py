@@ -198,6 +198,231 @@ def _build(config):
     return corpus, tokenizer, tag_dict, model, trainer
 
 
+def _load_trained(trainer, target_dir: Path) -> bool:
+    best = target_dir / "best-model.msgpack"
+    final = target_dir / "final-model.msgpack"
+    if best.exists() or final.exists():
+        trainer.load(best if best.exists() else final)
+        return True
+    return False
+
+
+def _build_distill(config):
+    """Student + teachers for the KD trainer (reference: ModelDistiller
+    selected by the ``trainer:`` key, train.py:105-131; teachers built from
+    per-corpus configs, config_parser.py:242-274)."""
+    from .config import ExperimentConfig
+    from .train.distill import DistillationTrainer
+
+    corpus, tokenizer, tag_dict, model, ft = _build(config)
+    if not config.teachers:
+        raise ValueError("trainer: DistillationTrainer needs a 'teachers:' "
+                         "list of trained experiment-config paths")
+    teachers = []
+    for tpath in config.teachers:
+        tcfg = ExperimentConfig.from_file(tpath)
+        _, _, t_tag_dict, _, t_trainer = _build(tcfg)
+        if t_tag_dict.idx2item != tag_dict.idx2item:
+            raise ValueError(
+                f"teacher {tpath} tag dictionary differs from the "
+                "student's — KD needs a shared label space")
+        if not _load_trained(t_trainer, tcfg.resolve_target_dir()):
+            raise ValueError(f"teacher {tpath} has no trained checkpoint "
+                             f"under {tcfg.resolve_target_dir()}")
+        teachers.append((t_trainer.model, t_trainer.params))
+    trainer = DistillationTrainer(
+        model, ft.params, corpus, tokenizer, tag_dict,
+        tag_layer=config.tag_layer, teachers=teachers)
+    return corpus, trainer
+
+
+def _build_ace(config):
+    """Stacked-embedder tagger + FinetuneTrainer for the ACE episode loop
+    (reference: ReinforcementTrainer over a multi-embedding stack,
+    reinforcement_trainer.py:273+). ``model.embeddings`` lists the stack:
+      - {type: word, dim: D}
+      - {type: char_bilstm, char_dim: D, hidden: H}
+      - {type: flair, embed_dim: D, hidden: H}
+      - {type: transformer, fine_tune: false}
+    """
+    import jax.numpy as jnp
+
+    from .data.encode import (add_classic_features, build_char_vocab,
+                              build_word_vocab, encode_batch)
+    from .models import TaggerConfig
+    from .models.embedders import (CharBiLSTMEmbedder, EmbedderSpec,
+                                   FlairLMEmbedder, TransformerWordEmbedder,
+                                   WordEmbedder)
+    from .models.tagger import init_stacked_tagger
+    from .train import FinetuneTrainer
+
+    corpus = config.load_corpus()
+    tokenizer = config.make_tokenizer()
+    tag_dict = corpus.make_tag_dictionary(config.tag_layer)
+    word_vocab = build_word_vocab(corpus.train)
+    char_vocab = build_char_vocab(corpus.train)
+    enc_cfg = config.make_encoder_config(tokenizer)
+
+    emb_specs = config.model.get("embeddings") or [
+        {"type": "word", "dim": 32},
+        {"type": "char_bilstm", "char_dim": 16, "hidden": 16},
+    ]
+    specs = []
+    for i, e in enumerate(emb_specs):
+        kind = e.get("type", "word")
+        if kind == "word":
+            dim = e.get("dim", 32)
+            specs.append(EmbedderSpec(
+                f"word{i}", WordEmbedder(vocab_size=len(word_vocab),
+                                         dim=dim), dim))
+        elif kind == "char_bilstm":
+            hidden = e.get("hidden", 16)
+            specs.append(EmbedderSpec(
+                f"char{i}", CharBiLSTMEmbedder(
+                    char_vocab_size=len(char_vocab),
+                    char_dim=e.get("char_dim", 16), hidden=hidden),
+                2 * hidden))
+        elif kind == "flair":
+            hidden = e.get("hidden", 16)
+            specs.append(EmbedderSpec(
+                f"flair{i}", FlairLMEmbedder(
+                    char_vocab_size=len(char_vocab),
+                    embed_dim=e.get("embed_dim", 16), hidden=hidden),
+                2 * hidden))
+        elif kind == "transformer":
+            specs.append(EmbedderSpec(
+                f"xlmr{i}", TransformerWordEmbedder(
+                    enc_cfg, fine_tune=e.get("fine_tune", False)),
+                enc_cfg.hidden_size))
+        else:
+            raise ValueError(f"unknown ACE embedding type {kind!r}")
+
+    tagger_cfg = TaggerConfig.for_tag_dictionary(
+        enc_cfg, tag_dict,
+        use_crf=config.model.get("use_crf", True),
+        locked_dropout=config.model.get("locked_dropout", 0.5),
+        word_dropout=config.model.get("word_dropout", 0.05))
+    sample = corpus.train[:2]
+    eb = encode_batch(sample, tokenizer, tag_dict, tag_layer=config.tag_layer)
+    add_classic_features(eb, word_vocab, char_vocab)
+    arrays = {k: jnp.asarray(v) for k, v in eb.arrays().items()}
+    model, params = init_stacked_tagger(
+        tagger_cfg, specs, jax.random.PRNGKey(0), arrays)
+    trainer = FinetuneTrainer(
+        model, params, corpus, tokenizer, tag_dict,
+        tag_layer=config.tag_layer)
+    trainer.word_vocab = word_vocab
+    trainer.char_vocab = char_vocab
+    return corpus, trainer, specs
+
+
+def _run_swaf(config, target_dir: Path):
+    """SWAF system combination from prediction files (reference
+    SWAFTrainer, swaf_trainer.py:25-179; system predictions loaded from
+    conllu files, config_parser.py:512-567). ``systems:`` block:
+      systems: {dev: [dev.a.tsv, dev.b.tsv], test: [test.a.tsv, ...]}
+    Each file has 'token gold pred' columns. Trains per-token system
+    weights on dev, writes the combined test predictions + F1."""
+    import jax
+    import jax.numpy as jnp
+
+    from .data.conll import read_column_file, write_column_file
+    from .data.dictionary import Dictionary
+    from .eval.metrics import evaluate_spans
+    from .models.ensemble_model import (EnsembleConfig, EnsembleModel,
+                                        SWAFTrainer,
+                                        encode_system_predictions)
+
+    sysblock = config.systems
+    if not sysblock.get("dev") or not sysblock.get("test"):
+        raise ValueError("trainer: SWAFTrainer needs systems: {dev: [...], "
+                         "test: [...]} prediction files")
+
+    def load_split(files):
+        all_tags, gold = [], None
+        for f in files:
+            recs = read_column_file(
+                f, {0: "text", 1: "gold", 2: "pred"}, tag_to_bioes=None)
+            all_tags.append([r.tags["pred"] for r in recs])
+            if gold is None:
+                gold = [r.tags["gold"] for r in recs]
+                records = recs
+        return records, all_tags, gold
+
+    dev_recs, dev_sys, dev_gold = load_split(sysblock["dev"])
+    test_recs, test_sys, test_gold = load_split(sysblock["test"])
+
+    label_dict = Dictionary()
+    label_dict.add_item("O")
+    for tags in dev_sys + test_sys + [dev_gold, test_gold]:
+        for sent in tags:
+            for t in sent:
+                label_dict.add_item(t)
+
+    dev_arrays = encode_system_predictions(dev_sys, dev_gold, label_dict)
+    test_arrays = encode_system_predictions(test_sys, test_gold, label_dict)
+
+    model = EnsembleModel(EnsembleConfig(
+        num_systems=len(dev_sys), num_labels=len(label_dict),
+        hidden=config.model.get("hidden", 128)))
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(dev_arrays["system_onehots"][:1]))
+    trainer = SWAFTrainer(model, params)
+    losses = trainer.train(
+        dev_arrays,
+        steps=int(config.train.get("max_epochs", 200)),
+        lr=float(config.train.get("learning_rate", 1e-2)))
+    combined = trainer.combine(test_arrays)
+
+    preds = []
+    for b, rec in enumerate(test_recs):
+        preds.append([label_dict.get_item_for_index(int(combined[b, w]))
+                      for w in range(len(rec.tokens))])
+        rec.tags["pred"] = preds[-1]
+    target_dir.mkdir(parents=True, exist_ok=True)
+    write_column_file(target_dir / "test.swaf.tsv", test_recs,
+                      layers=("pred",))
+    metric = evaluate_spans(test_gold, preds)
+    result = {"final_loss": losses[-1] if losses else None,
+              "test_micro_f1": metric.micro_avg_f_score()}
+    (target_dir / "swaf_results.json").write_text(json.dumps(result))
+    logging.info("SWAF combined test micro-F1 %.4f", result["test_micro_f1"])
+    print(json.dumps(result))
+    return result
+
+
+def _run_lm(config, target_dir: Path):
+    """Char-LM pretraining (reference LanguageModelTrainer,
+    language_model_trainer.py): trains a CharLMHead on the corpus text;
+    the result slots into FlairLMEmbedder stacks."""
+    import jax
+    import jax.numpy as jnp
+
+    from .data.dictionary import Dictionary
+    from .models.embedders import CharLMHead
+    from .train.lm_trainer import LanguageModelTrainer
+
+    corpus = config.load_corpus()
+    texts = [" ".join(r.tokens) for r in corpus.train]
+    vocab = Dictionary()
+    vocab.add_item(" ")
+    vocab.add_item("\n")
+    for t in texts:
+        for ch in t:
+            vocab.add_item(ch)
+    mc = config.model
+    model = CharLMHead(
+        char_vocab_size=len(vocab), embed_dim=mc.get("embed_dim", 32),
+        hidden=mc.get("hidden", 64))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 16), jnp.int32))
+    trainer = LanguageModelTrainer(model, params, vocab)
+    result = trainer.train(texts, target_dir, config.make_train_config())
+    vocab.save(target_dir / "char_vocab.json")
+    logging.info("char-LM final loss %s", result["final_loss"])
+    return result
+
+
 def cmd_train(args):
     from .config import ExperimentConfig
 
@@ -216,6 +441,33 @@ def cmd_train(args):
             logging.info("test %s", scores)
             print(json.dumps(scores))
         return
+
+    kind = config.trainer_kind
+    if kind == "distill":
+        corpus, trainer = _build_distill(config)
+        result = trainer.train(target_dir, config.make_train_config())
+        logging.info("KD best dev score: %s", result["best_dev_score"])
+        trainer.final_test(target_dir)
+        return
+    if kind == "ace":
+        from .train.reinforce import ReinforceConfig, ace_train
+
+        corpus, trainer, specs = _build_ace(config)
+        result = ace_train(
+            trainer, config.make_train_config(), target_dir,
+            num_embeddings=len(specs),
+            config=ReinforceConfig(**config.ace))
+        logging.info("ACE best action %s (dev F1 %.4f)",
+                     result["best_action"], result["best_f1"])
+        trainer.final_test(target_dir)
+        return
+    if kind == "swaf":
+        _run_swaf(config, target_dir)
+        return
+    if kind == "lm":
+        _run_lm(config, target_dir)
+        return
+
     corpus, tokenizer, tag_dict, model, trainer = _build(config)
     result = trainer.train(target_dir, config.make_train_config())
     logging.info("best dev score: %s", result["best_dev_score"])

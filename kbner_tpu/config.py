@@ -58,6 +58,26 @@ class CorpusSpec:
     format: str = "column"
 
 
+# trainer: key -> canonical kind. Reference class names are accepted as
+# aliases (the reference selects its trainer the same way,
+# /root/reference/train.py:105-131).
+TRAINERS: Dict[str, str] = {
+    "FinetuneTrainer": "finetune",
+    "ModelFinetuner": "finetune",
+    "DistillationTrainer": "distill",
+    "ModelDistiller": "distill",
+    "ReinforcementTrainer": "ace",
+    "SWAFTrainer": "swaf",
+    "LanguageModelTrainer": "lm",
+    "ModelTrainer": "finetune",
+}
+
+_KNOWN_TOP_KEYS = {
+    "name", "corpora", "tag_layer", "tokenizer", "model", "train", "data",
+    "target_dir", "trainer", "targets", "teachers", "ace", "systems",
+}
+
+
 @dataclasses.dataclass
 class ExperimentConfig:
     name: str
@@ -77,6 +97,15 @@ class ExperimentConfig:
     trainer: str = "FinetuneTrainer"
     # task surface (reference train.py targets: ner / dependency / ...)
     targets: str = "ner"
+    # KD: teacher experiment-config paths, one per corpus language (the
+    # reference builds teachers from per-corpus configs,
+    # config_parser.py:242-274)
+    teachers: List[str] = dataclasses.field(default_factory=list)
+    # ACE episode-loop settings (episodes, controller_lr, reward_kind)
+    ace: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    # SWAF: candidate systems' prediction files
+    #   {dev: [...], test: [...]} of 'token gold pred' column files
+    systems: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
     @classmethod
     def from_file(cls, path: str | Path) -> "ExperimentConfig":
@@ -85,6 +114,17 @@ class ExperimentConfig:
 
     @classmethod
     def from_dict(cls, raw: Dict[str, Any]) -> "ExperimentConfig":
+        unknown = set(raw) - _KNOWN_TOP_KEYS
+        if unknown:
+            # a typoed key silently training with defaults is the config
+            # bug class the reference never guarded against; fail loudly
+            raise ValueError(
+                f"unknown config keys: {sorted(unknown)}; "
+                f"known: {sorted(_KNOWN_TOP_KEYS)}")
+        trainer = raw.get("trainer", "FinetuneTrainer")
+        if trainer not in TRAINERS:
+            raise ValueError(
+                f"unknown trainer: {trainer!r}; one of {sorted(TRAINERS)}")
         corpora = []
         for c in raw["corpora"]:
             if c.get("format") == "fasttext":
@@ -129,9 +169,16 @@ class ExperimentConfig:
             train=raw.get("train", {}),
             data=raw.get("data", {}),
             target_dir=raw.get("target_dir"),
-            trainer=raw.get("trainer", "FinetuneTrainer"),
+            trainer=trainer,
             targets=raw.get("targets", "ner"),
+            teachers=list(raw.get("teachers", [])),
+            ace=raw.get("ace", {}),
+            systems=raw.get("systems", {}),
         )
+
+    @property
+    def trainer_kind(self) -> str:
+        return TRAINERS[self.trainer]
 
     # -- factories -----------------------------------------------------------
 
@@ -211,9 +258,27 @@ class ExperimentConfig:
         return XLMRConfig.from_hf_config(Path(enc) / "config.json")
 
     def make_train_config(self) -> TrainConfig:
-        known = {f.name for f in dataclasses.fields(TrainConfig)}
-        kwargs = {k: v for k, v in self.train.items() if k in known}
-        return TrainConfig(**kwargs)
+        """The trainer's TrainConfig (DistillConfig for the KD trainer).
+
+        Unknown ``train:`` keys raise — a typo like ``learing_rate`` must
+        not silently train with defaults."""
+        if self.trainer_kind == "lm":
+            from .train.lm_trainer import LMTrainConfig
+
+            cls_ = LMTrainConfig
+        elif self.trainer_kind == "distill":
+            from .train.distill import DistillConfig
+
+            cls_ = DistillConfig
+        else:
+            cls_ = TrainConfig
+        known = {f.name for f in dataclasses.fields(cls_)}
+        unknown = set(self.train) - known
+        if unknown:
+            raise ValueError(
+                f"unknown train keys for {self.trainer}: {sorted(unknown)}; "
+                f"known: {sorted(known)}")
+        return cls_(**self.train)
 
     def resolve_target_dir(self) -> Path:
         return Path(self.target_dir or f"resources/taggers/{self.name}")

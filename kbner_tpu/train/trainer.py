@@ -241,9 +241,16 @@ class FinetuneTrainer:
         self.tag_dict.save(base_path / "tag_dictionary.json")
 
         self._apply_corpus_surgery(config)
-        train_records = self.corpus.train
+        # Schedule horizon from the ACTUAL per-epoch record count: language
+        # resampling and stride-window expansion change the epoch size, and
+        # a horizon computed from the raw corpus would end the linear decay
+        # early/late (reference computes it from the realized loader length,
+        # finetune_trainer.py:679-688). Epoch 0's record count is the
+        # per-epoch estimate (resampling keeps the size stable across
+        # epochs; stride expansion is deterministic).
         steps_per_epoch = max(
-            1, (len(train_records) + config.batch_size - 1) // config.batch_size)
+            1, (len(self._epoch_records(config, 0)) + config.batch_size - 1)
+            // config.batch_size)
         total_steps = steps_per_epoch * config.max_epochs
         warmup = int(total_steps * config.warmup_fraction)
 
