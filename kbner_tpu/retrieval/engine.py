@@ -175,6 +175,26 @@ def _pack_doc_rows_ragged(
             lens.astype(lens_dtype), term_bits, lo, step, r2)
 
 
+def _drop_tiny_slots(dt: np.ndarray, di: np.ndarray, df: np.ndarray,
+                     tiny_cap: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Left-compacted copies of the padded doc arrays with slots of
+    "tiny" terms (df <= tiny_cap) removed — those terms are scored
+    exactly from their full pass-1 windows, so pass-2 rows need not
+    carry them (compact-rows memory optimization)."""
+    keep = dt >= 0
+    keep[keep] = df[dt[keep]] > tiny_cap
+    new_len = keep.sum(axis=1)
+    ld = max(int(new_len.max(initial=0)), 1)
+    n = dt.shape[0]
+    dt2 = np.full((n, ld), -1, dtype=dt.dtype)
+    di2 = np.zeros((n, ld), dtype=di.dtype)
+    rows = np.nonzero(keep)[0]
+    cols = (np.cumsum(keep, axis=1) - 1)[keep]
+    dt2[rows, cols] = dt[keep]
+    di2[rows, cols] = di[keep]
+    return dt2, di2
+
+
 class RetrievalEngine:
     """Query execution over one language's index (text field + optional
     title field for entity-boosted queries)."""
@@ -193,6 +213,7 @@ class RetrievalEngine:
         posting_budget: int = 4096,
         df_cap: Optional[int] = None,
         n_candidates: int = 512,
+        compact_rows: bool = True,
     ):
         self.text_index = text_index
         self.title_index = title_index
@@ -214,6 +235,20 @@ class RetrievalEngine:
         # pass-1 windows never read past this depth, so the device CSR is
         # built capped to it (full postings would be dead HBM weight)
         self.per_term_cap = max(1, self.posting_budget // self.rare_terms)
+        # COMPACT ROWS: text terms whose WHOLE posting list fits one pass-1
+        # window (df <= tiny_cap) are scored exactly in pass 1 — the rare
+        # block always includes every such query term (adaptive width) and
+        # their weighted window impacts ride through dedup as a second
+        # accumulator — so their slots are dropped from the pass-2 rows.
+        # At wiki scale those "tiny" terms are the majority of postings
+        # (Zipf tail), roughly halving pass-2 row memory. Their score
+        # contributions come from the CSR's 8-bit impact codes instead of
+        # the rows' 12-bit codes — still far inside Lucene's own 1-byte
+        # norm-quantization error. compact_rows=False keeps full rows
+        # (bit-exact pass-2, used by strict score-parity tests).
+        self.compact_rows = compact_rows and mode == "pruned"
+        self.tiny_cap = (min(self.per_term_cap, self.df_cap)
+                         if self.compact_rows else 0)
         self._device_fields: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
         self._device_rows: Dict[str, Tuple[jnp.ndarray, ...]] = {}
         # per field: (term_bits, lo, step, r2) of the ragged pass-2 rows
@@ -253,9 +288,14 @@ class RetrievalEngine:
                 # padding was 208 of 294 B/doc at bench scale, VERDICT r2
                 # #1); each candidate costs one covering-row gather (the
                 # row gather dominates pass-2, ~50 ns/row on v5e).
+                dt_rows, di_rows = dt, di
+                if self.compact_rows and name == "text":
+                    dt_rows, di_rows = _drop_tiny_slots(
+                        dt, di, idx.csr[3], self.tiny_cap)
                 if self.mesh is None:
                     flat, off, lens, tb, lo, step, r2 = \
-                        _pack_doc_rows_ragged(dt, di, len(idx.vocab))
+                        _pack_doc_rows_ragged(dt_rows, di_rows,
+                                              len(idx.vocab))
                     self._row_meta[name] = (tb, lo, step, r2)
                     self._device_rows[name] = (
                         jnp.asarray(flat), jnp.asarray(off),
@@ -288,13 +328,13 @@ class RetrievalEngine:
                     from .index import log_quantize
 
                     _, g_lo, g_step = log_quantize(
-                        di[dt >= 0].astype(np.float32),
+                        di_rows[dt_rows >= 0].astype(np.float32),
                         bits=32 - max(int(np.ceil(
                             np.log2(len(idx.vocab) + 2))), 1))
                     parts = [
                         _pack_doc_rows_ragged(
-                            dt[s * ss:(s + 1) * ss],
-                            di[s * ss:(s + 1) * ss],
+                            dt_rows[s * ss:(s + 1) * ss],
+                            di_rows[s * ss:(s + 1) * ss],
                             len(idx.vocab), scale=(g_lo, g_step))
                         for s in range(S)
                     ]
@@ -449,16 +489,22 @@ class RetrievalEngine:
 
         return run
 
-    def _select_rare_terms(self, q_terms: np.ndarray,
+    def _select_rare_terms(self, q_terms: np.ndarray, q_weights: np.ndarray,
                            index: Optional[BM25Index] = None,
-                           df_cap: Optional[int] = None) -> np.ndarray:
-        """Per query: the ``rare_terms`` lowest-df in-vocab terms with
-        df <= df_cap (MaxScore-style pass-1 term selection)."""
+                           df_cap: Optional[int] = None,
+                           n_slots: Optional[int] = None,
+                           tiny_cap: int = 0,
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+        """Per query: the ``n_slots`` lowest-df in-vocab terms with
+        df <= df_cap (MaxScore-style pass-1 term selection). Returns
+        (rare ids [Q, n], exact weights [Q, n]): the exact weight is the
+        term's query weight when its WHOLE posting list fits one pass-1
+        window (df <= tiny_cap — compact-rows scoring), else 0."""
         index = index or self.text_index
         df = index.csr[3]
         cap = df_cap if df_cap is not None else self.df_cap
         Q, Lq = q_terms.shape
-        M = self.rare_terms
+        M = n_slots if n_slots is not None else self.rare_terms
         term_df = np.where(
             q_terms >= 0, df[np.maximum(q_terms, 0)], np.iinfo(np.int64).max)
         term_df = np.where(term_df <= cap, term_df,
@@ -467,26 +513,55 @@ class RetrievalEngine:
         rare = np.take_along_axis(q_terms, order, axis=1).astype(np.int32)
         picked_df = np.take_along_axis(term_df, order, axis=1)
         rare[picked_df == np.iinfo(np.int64).max] = -1
-        return rare
+        w_exact = np.where(
+            (rare >= 0) & (picked_df <= tiny_cap),
+            np.take_along_axis(q_weights, order, axis=1), 0.0
+        ).astype(np.float32)
+        return rare, w_exact
+
+    def _rare_width(self, q_terms: np.ndarray) -> int:
+        """Pass-1 rare-block width for this batch: at least the configured
+        ``rare_terms``, widened (in steps of 4, bounding recompiles) so
+        EVERY tiny query term is selected — compact rows removed those
+        terms from pass 2, so missing one would lose its contribution."""
+        M = self.rare_terms
+        if not self.compact_rows:
+            return M
+        df = self.text_index.csr[3]
+        tiny = (q_terms >= 0) & (
+            df[np.maximum(q_terms, 0)] <= self.tiny_cap)
+        need = int(tiny.sum(axis=1).max(initial=0))
+        if need > M:
+            M = min(((need + 3) // 4) * 4, q_terms.shape[1])
+        return M
 
     def _pack_queries(self, q_terms, q_weights, extra_fields
-                      ) -> Tuple[np.ndarray, Tuple[int, ...]]:
-        """ONE host->device array per query batch: [Q, M + sum 2*Lq_f]
-        int32 carrying the rare-term ids, then each field's term ids and
-        float-bitcast weights. Under the remote-execution tunnel every
-        transfer costs a ~30 ms round trip, which dominated the pruned
-        path (measured: a no-op dispatch is as expensive as the whole
-        device-side search); packing makes it a single upload."""
-        rare = self._select_rare_terms(q_terms)
+                      ) -> Tuple[np.ndarray, Tuple[int, ...], int]:
+        """ONE host->device array per query batch: [Q, blocks] int32
+        carrying the rare-term ids, their float-bitcast exact weights
+        (compact-rows pass-1-exact scoring), then each field's term ids
+        and float-bitcast weights. Under the remote-execution tunnel
+        every transfer costs a ~30 ms round trip, which dominated the
+        pruned path (measured: a no-op dispatch is as expensive as the
+        whole device-side search); packing makes it a single upload."""
+        m_eff = self._rare_width(q_terms)
+        rare, wex = self._select_rare_terms(
+            q_terms, q_weights, n_slots=m_eff, tiny_cap=self.tiny_cap)
         segs = [rare.astype(np.int32)]
+        wex_segs = [wex.view(np.int32)]
         if extra_fields and self._device_csr_title is not None:
             # a second rare block drives title-CSR candidate generation:
             # ES bool.should reaches a doc through ANY field, so a doc
             # matching only the entity's title terms must still become a
-            # candidate
+            # candidate. Title rows are never compacted (small field), so
+            # its exact weights are zero.
             tcap = max(256, self.title_index.n_docs // 20)
-            segs.append(self._select_rare_terms(
-                extra_fields[0][0], index=self.title_index, df_cap=tcap))
+            t_rare, _ = self._select_rare_terms(
+                extra_fields[0][0], extra_fields[0][1],
+                index=self.title_index, df_cap=tcap, n_slots=m_eff)
+            segs.append(t_rare)
+            wex_segs.append(np.zeros_like(t_rare))
+        segs += wex_segs
         segs += [np.ascontiguousarray(q_terms, np.int32),
                  np.ascontiguousarray(q_weights, np.float32).view(np.int32)]
         lqs = [q_terms.shape[1]]
@@ -494,7 +569,7 @@ class RetrievalEngine:
             segs.append(np.ascontiguousarray(ft, np.int32))
             segs.append(np.ascontiguousarray(fw, np.float32).view(np.int32))
             lqs.append(ft.shape[1])
-        return np.concatenate(segs, axis=1), tuple(lqs)
+        return np.concatenate(segs, axis=1), tuple(lqs), m_eff
 
     @staticmethod
     def unpack_result(out: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -513,8 +588,8 @@ class RetrievalEngine:
             if "title" not in self._device_rows:
                 raise ValueError("engine built without a title index")
             extra.append((title_terms, title_weights))
-        packed, lqs = self._pack_queries(q_terms, q_weights, extra)
-        run = self._pruned_topk_fn(k, lqs, self.per_term_cap)
+        packed, lqs, m_eff = self._pack_queries(q_terms, q_weights, extra)
+        run = self._pruned_topk_fn(k, lqs, self.per_term_cap, m_eff)
         csr_arrays = list(self._device_csr)
         if extra and self._device_csr_title is not None:
             csr_arrays += list(self._device_csr_title)
@@ -530,7 +605,7 @@ class RetrievalEngine:
         return self.unpack_result(out)
 
     def _pruned_topk_fn(self, k: int, lqs: Tuple[int, ...],
-                        per_term_cap: int):
+                        per_term_cap: int, m_eff: Optional[int] = None):
         """Cached jitted closure for pruned search over a PACKED query
         array (see :meth:`_pack_queries`) — a fresh jit per call would
         recompile every query batch, and separate per-array transfers
@@ -538,13 +613,14 @@ class RetrievalEngine:
         cached = getattr(self, "_pruned_cache", None)
         if cached is None:
             cached = self._pruned_cache = {}
-        key = (k, lqs, per_term_cap)
+        M = m_eff if m_eff is not None else self.rare_terms
+        key = (k, lqs, per_term_cap, M)
         if key in cached:
             return cached[key]
 
         mesh = self.mesh
         n_cand = self.n_candidates
-        M = self.rare_terms
+        with_exact = self.compact_rows
         n_real = self.text_index.n_docs
         csr_lo, csr_step = self._csr_scale
         use_pal = self.use_pallas
@@ -566,8 +642,12 @@ class RetrievalEngine:
         def unpack_queries(packed, row_arrays):
             rares = [packed[:, i * M:(i + 1) * M]
                      for i in range(n_rare_blocks)]
-            fields = []
             pos = M * n_rare_blocks
+            wexs = [jax.lax.bitcast_convert_type(
+                packed[:, pos + i * M: pos + (i + 1) * M], jnp.float32)
+                for i in range(n_rare_blocks)]
+            fields = []
+            pos += M * n_rare_blocks
             for f, lq in enumerate(lqs):
                 qt = packed[:, pos: pos + lq]
                 qw = jax.lax.bitcast_convert_type(
@@ -576,21 +656,29 @@ class RetrievalEngine:
                 tb, lo, step, _ = row_meta[f]
                 flat, off, lens = row_arrays[3 * f: 3 * f + 3]
                 fields.append((qt, qw, flat, off, lens, tb, lo, step))
-            return rares, tuple(fields)
+            return rares, wexs, tuple(fields)
 
-        def pooled_topk(rares, csrs, fields, n_docs):
-            cds, cis = [], []
-            for rare, (off, pk, lo, step) in zip(rares, csrs):
+        def pooled_topk(rares, wexs, csrs, fields, n_docs):
+            cds, cis, ces = [], [], []
+            for rare, wex, (off, pk, lo, step) in zip(rares, wexs, csrs):
                 cd, ci = gather_pruned_candidates(
                     rare, off, pk, per_term_cap, lo, step)
                 cds.append(cd)
                 cis.append(ci)
+                if with_exact:
+                    # weighted window impacts of tiny-exact terms: the
+                    # gather lays postings out [Q, M, R*128] flattened
+                    Qb = cd.shape[0]
+                    ces.append((ci.reshape(Qb, M, -1)
+                                * wex[:, :, None]).reshape(Qb, -1))
+            c_exact = (jnp.concatenate(ces, axis=1) if with_exact
+                       else None)
             return bm25_pruned_topk(
                 jnp.concatenate(cds, axis=1),
                 jnp.concatenate(cis, axis=1),
                 fields, n_real_docs=n_docs, k=k, n_candidates=n_cand,
                 max_dup_shifts=m_dup, use_pallas=use_pal,
-                ragged_rows=r2s)
+                ragged_rows=r2s, cand_exact=c_exact)
 
         def pack_result(scores, ids):
             return jnp.concatenate(
@@ -606,8 +694,8 @@ class RetrievalEngine:
                 if with_title_csr:
                     csrs.append(
                         (csr_flat[2], csr_flat[3], tcsr_lo, tcsr_step))
-                rares, fields = unpack_queries(packed, row_arrays)
-                scores, ids = pooled_topk(rares, csrs, fields, n_real)
+                rares, wexs, fields = unpack_queries(packed, row_arrays)
+                scores, ids = pooled_topk(rares, wexs, csrs, fields, n_real)
                 return pack_result(scores, ids)
 
             cached[key] = run
@@ -624,8 +712,9 @@ class RetrievalEngine:
             if with_title_csr:
                 csrs.append(
                     (csr_flat[2][0], csr_flat[3][0], tcsr_lo, tcsr_step))
-            rares, fields = unpack_queries(packed, local_rows)
-            s_scores, s_ids = pooled_topk(rares, csrs, fields, shard_size)
+            rares, wexs, fields = unpack_queries(packed, local_rows)
+            s_scores, s_ids = pooled_topk(rares, wexs, csrs, fields,
+                                          shard_size)
             s_ids = jnp.where(
                 s_ids >= 0, s_ids + shard_idx * shard_size, -1)
             all_scores = jax.lax.all_gather(s_scores, DATA_AXIS)

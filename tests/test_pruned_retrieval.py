@@ -71,25 +71,85 @@ def test_pruned_matches_exhaustive_recall(corpus_index):
     queries = [docs[i] for i in rng.randint(0, len(docs), 16)]
 
     exact = RetrievalEngine(index, use_pallas=False, block_d=64)
-    pruned = RetrievalEngine(index, mode="pruned", rare_terms=12,
-                             posting_budget=4096, n_candidates=128)
+    # compact_rows=False: pass 2 rescores EVERY term from the 12-bit rows
+    pruned_full = RetrievalEngine(index, mode="pruned", rare_terms=12,
+                                  posting_budget=4096, n_candidates=128,
+                                  compact_rows=False)
+    # default compact rows: tiny terms scored from their full pass-1
+    # windows (8-bit CSR codes) — same docs, scores within the 8-bit
+    # log-quantization step
+    pruned_compact = RetrievalEngine(index, mode="pruned", rare_terms=12,
+                                     posting_budget=4096, n_candidates=128)
     r_exact = exact.search(queries, k=10)
-    r_pruned = pruned.search(queries, k=10)
 
-    recalls = []
-    for a, b in zip(r_exact, r_pruned):
-        want = {d.doc_id for d in a}
-        got = {d.doc_id for d in b}
-        if want:
-            recalls.append(len(want & got) / len(want))
-    assert np.mean(recalls) >= 0.99, np.mean(recalls)
-    # scores of returned docs are exact
-    for a, b in zip(r_exact, r_pruned):
-        exact_by_id = {d.doc_id: d.score for d in a}
+    # the compact engine's 8-bit tiny-term scores can flip a rank-10
+    # near-tie on this 400-doc corpus (bench measures its true recall at
+    # collection scale with a score-aware metric: 0.99+)
+    for pruned, rel, bar in ((pruned_full, 1e-4, 0.99),
+                             (pruned_compact, 1e-2, 0.98)):
+        r_pruned = pruned.search(queries, k=10)
+        recalls = []
+        for a, b in zip(r_exact, r_pruned):
+            want = {d.doc_id for d in a}
+            got = {d.doc_id for d in b}
+            if want:
+                recalls.append(len(want & got) / len(want))
+        assert np.mean(recalls) >= bar, np.mean(recalls)
+        for a, b in zip(r_exact, r_pruned):
+            exact_by_id = {d.doc_id: d.score for d in a}
+            for d in b:
+                if d.doc_id in exact_by_id:
+                    assert d.score == pytest.approx(
+                        exact_by_id[d.doc_id], rel=rel)
+
+
+def test_compact_rows_drop_tiny_and_memory(corpus_index):
+    """Compact rows really shrink the pass-2 arrays, and the dropped
+    slots are exactly the tiny-df terms."""
+    from kbner_tpu.retrieval.engine import _drop_tiny_slots
+
+    docs, index = corpus_index
+    full = RetrievalEngine(index, mode="pruned", rare_terms=12,
+                           posting_budget=4096, n_candidates=128,
+                           compact_rows=False)
+    compact = RetrievalEngine(index, mode="pruned", rare_terms=12,
+                              posting_budget=4096, n_candidates=128)
+    assert compact.compact_rows and not full.compact_rows
+    fb = sum(int(a.nbytes) for a in full._device_rows["text"])
+    cb = sum(int(a.nbytes) for a in compact._device_rows["text"])
+    assert cb < fb
+
+    df = index.csr[3]
+    dt = np.asarray([[0, 1, -1], [2, -1, -1]], np.int32)
+    di = np.asarray([[1.0, 2.0, 0.0], [3.0, 0.0, 0.0]], np.float32)
+    df_fake = np.zeros(3, np.int64)
+    df_fake[0], df_fake[1], df_fake[2] = 1, 100, 100
+    dt2, di2 = _drop_tiny_slots(dt, di, df_fake, tiny_cap=10)
+    # term 0 (df=1 <= 10) dropped; terms 1/2 kept and left-compacted
+    assert dt2[0].tolist()[:1] == [1] and di2[0, 0] == 2.0
+    assert dt2[1, 0] == 2 and di2[1, 0] == 3.0
+
+
+def test_compact_rows_exact_when_impacts_uniform():
+    """With a single distinct impact value the 8-bit log grid is lossless,
+    so compact-mode scores must EQUAL the exhaustive engine's — isolating
+    the exact-tiny accumulation plumbing from quantization noise."""
+    # every doc: same length, disjoint rare vocabulary + one shared term
+    docs = [f"u{i} v{i} shared" for i in range(64)]
+    index = BM25Index.build(docs, params=BM25Params(quantize_norms=False),
+                            pad_docs_to=32)
+    eng_ex = RetrievalEngine(index, use_pallas=False, block_d=32)
+    eng_c = RetrievalEngine(index, mode="pruned", rare_terms=8,
+                            posting_budget=512, n_candidates=32)
+    assert eng_c.compact_rows
+    queries = [docs[3], docs[17], "u5 shared"]
+    r_ex = eng_ex.search(queries, k=3)
+    r_c = eng_c.search(queries, k=3)
+    for a, b in zip(r_ex, r_c):
+        assert [d.doc_id for d in a][:1] == [d.doc_id for d in b][:1]
+        by_id = {d.doc_id: d.score for d in a}
         for d in b:
-            if d.doc_id in exact_by_id:
-                assert d.score == pytest.approx(
-                    exact_by_id[d.doc_id], rel=1e-4)
+            assert d.score == pytest.approx(by_id[d.doc_id], rel=1e-5)
 
 
 def test_pruned_topk_duplicate_summing():
@@ -244,4 +304,4 @@ def test_pruned_entity_boost_matches_exhaustive(corpus_index):
         assert {d.doc_id for d in a} == {d.doc_id for d in b}
         np.testing.assert_allclose(
             sorted(d.score for d in a), sorted(d.score for d in b),
-            rtol=2e-3)  # 16-bit log-quantized title/text impacts
+            rtol=1e-2)  # log-quantized impacts (8-bit for tiny terms)
