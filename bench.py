@@ -229,7 +229,9 @@ def bench_retrieval(on_tpu: bool) -> dict:
     # force CSR + upload completion
     jax.block_until_ready(engine._device_csr)
     upload_s = time.perf_counter() - t0
-    nnz = int(engine._device_csr[1].size)
+    # TRUE posting count (the device CSR is capped at the pass-1 window
+    # depth, so its size understates what Lucene would store)
+    nnz = int((index.doc_terms >= 0).sum())
     dev_bytes = (
         sum(int(a.nbytes) for a in engine._device_rows["text"])
         + sum(int(a.nbytes) for a in engine._device_csr))
@@ -319,12 +321,35 @@ def bench_retrieval(on_tpu: bool) -> dict:
     }
 
 
+def bench_quality_gate() -> dict:
+    """Held-out span F1 of the trained-quality gate (VERDICT r2 #4): the
+    pattern corpus a healthy trainer must learn to >= 0.95. Runs in a CPU
+    subprocess — it measures learning, not device speed, and the remote
+    tunnel's per-step latency would dominate a tiny-model training loop."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "from kbner_tpu.data.quality_fixture import run_quality_gate;"
+             "print(run_quality_gate())"],
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+            capture_output=True, text=True, timeout=600, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        return {"train_f1": round(float(out.stdout.strip().split()[-1]), 4)}
+    except Exception as e:  # report the failure, don't hide it
+        log(f"[bench] quality gate FAILED: {e}")
+        return {"train_f1": -1.0}
+
+
 def main():
     import jax
 
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
 
+    quality = bench_quality_gate()
+    log(f"[bench] quality gate train_f1: {quality['train_f1']}")
     train = bench_train_step(on_tpu)
     log(f"[bench] train step: {train['train_step_ms']} ms "
         f"({train['train_subtok_per_s']} subtok/s)")
