@@ -127,13 +127,15 @@ class ExperimentConfig:
                 f"unknown trainer: {trainer!r}; one of {sorted(TRAINERS)}")
         corpora = []
         for c in raw["corpora"]:
-            if c.get("format") == "fasttext":
+            if c.get("format") in ("fasttext", "conllu"):
+                fmt = c["format"]
+                suffix = "txt" if fmt == "fasttext" else "conllu"
                 corpora.append(CorpusSpec(
                     name=c["name"], data_folder=c["data_folder"],
-                    column_format={}, format="fasttext",
-                    train_file=c.get("train_file", "train.txt"),
-                    dev_file=c.get("dev_file", "dev.txt"),
-                    test_file=c.get("test_file", "test.txt")))
+                    column_format={}, format=fmt,
+                    train_file=c.get("train_file", f"train.{suffix}"),
+                    dev_file=c.get("dev_file", f"dev.{suffix}"),
+                    test_file=c.get("test_file", f"test.{suffix}")))
                 continue
             if "column_format" not in c:
                 # named corpus: resolve format/files from the registry
@@ -197,6 +199,14 @@ class ExperimentConfig:
                 corpora.append(Corpus(
                     train=read(spec.train_file), dev=read(spec.dev_file),
                     test=read(spec.test_file), name=spec.name))
+                continue
+            if spec.format == "conllu":
+                from .data.conll import load_conllu_corpus
+
+                corpora.append(load_conllu_corpus(
+                    spec.data_folder, train_file=spec.train_file,
+                    dev_file=spec.dev_file, test_file=spec.test_file,
+                    name=spec.name))
                 continue
             corpora.append(load_column_corpus(
                 spec.data_folder, spec.column_format,

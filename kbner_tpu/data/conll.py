@@ -221,6 +221,94 @@ def load_column_corpus(
     )
 
 
+#: CoNLL-U layer names produced by :func:`read_conllu_file` (UD columns
+#: LEMMA/UPOS/XPOS/HEAD/DEPREL/DEPS; FORM is the token text).
+CONLLU_LAYERS = ("lemma", "upos", "pos", "head", "deprel", "deps")
+
+
+def read_conllu_file(
+    path: Union[str, Path],
+    encoding: str = "utf-8",
+    max_sentences: Optional[int] = None,
+) -> List[SentenceRecord]:
+    """Parse a CoNLL-U (Universal Dependencies) file.
+
+    The 10-column tab-separated UD format (reference reader:
+    ``/root/reference/flair/datasets.py:1006-1118``): comments skipped,
+    multiword-token ranges (``1-2``) and empty nodes (``1.1``) skipped —
+    heads always refer to the basic token ids. Produces layers ``lemma``,
+    ``upos``, ``pos`` (XPOS), ``head``, ``deprel`` and ``deps``
+    (enhanced-UD ``head:rel|head:rel`` cells), matching the column names
+    the dependency/enhancedud trainers consume.
+    """
+    sentences: List[SentenceRecord] = []
+    cur_tokens: List[str] = []
+    cur_tags: Dict[str, List[str]] = {l: [] for l in CONLLU_LAYERS}
+    cur_comment: Optional[str] = None
+
+    def flush():
+        nonlocal cur_tokens, cur_tags, cur_comment
+        if cur_tokens:
+            sentences.append(SentenceRecord(
+                tokens=cur_tokens, tags=dict(cur_tags),
+                comment=cur_comment))
+        cur_tokens = []
+        cur_tags = {l: [] for l in CONLLU_LAYERS}
+        cur_comment = None
+
+    with open(path, encoding=encoding) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line.strip():
+                flush()
+                if max_sentences is not None and \
+                        len(sentences) >= max_sentences:
+                    return sentences
+                continue
+            if line.startswith("#"):
+                cur_comment = line
+                continue
+            fields = line.split("\t")
+            if len(fields) < 2:
+                fields = line.split()
+            tok_id = fields[0]
+            # multiword-token ranges and empty nodes carry no tree arcs
+            if "-" in tok_id or "." in tok_id:
+                continue
+            cur_tokens.append(fields[1])
+            get = lambda i: fields[i] if i < len(fields) else "_"
+            cur_tags["lemma"].append(get(2))
+            cur_tags["upos"].append(get(3))
+            cur_tags["pos"].append(get(4))
+            cur_tags["head"].append(get(6))
+            cur_tags["deprel"].append(get(7))
+            cur_tags["deps"].append(get(8))
+    flush()
+    if max_sentences is not None:
+        sentences = sentences[:max_sentences]
+    return sentences
+
+
+def load_conllu_corpus(
+    data_folder: Union[str, Path],
+    train_file: str = "train.conllu",
+    dev_file: str = "dev.conllu",
+    test_file: str = "test.conllu",
+    name: Optional[str] = None,
+) -> Corpus:
+    """Load a UD treebank folder of CoNLL-U files
+    (reference ``UniversalDependenciesCorpus``)."""
+    folder = Path(data_folder)
+
+    def read(fname: str) -> List[SentenceRecord]:
+        p = folder / fname
+        return read_conllu_file(p) if p.exists() else []
+
+    return Corpus(
+        train=read(train_file), dev=read(dev_file), test=read(test_file),
+        name=name or folder.name)
+
+
 @dataclass
 class ListCorpus:
     """Multi-corpus container keeping per-dataset lists, like the reference's

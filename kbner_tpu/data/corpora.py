@@ -26,6 +26,24 @@ class CorpusEntry:
     test_file: str = "test.txt"
     comment_symbol: Optional[str] = None
     tag_layer: str = "ner"
+    format: str = "column"  # or "conllu" (UD treebanks)
+
+
+def _ud(treebank: str) -> CorpusEntry:
+    """UD treebank entry (CoNLL-U files under the canonical release
+    naming, e.g. ``ud_english/en_ewt-ud-train.conllu``) — the parsing
+    targets' data source (reference ``flair/datasets.py:1006`` +
+    UD_* corpus classes)."""
+    code = treebank.split("_")[0]
+    lang = {"en": "english", "de": "german", "fr": "french",
+            "it": "italian", "nl": "dutch", "es": "spanish",
+            "pt": "portuguese", "ja": "japanese"}.get(code, code)
+    return CorpusEntry(
+        column_format={}, folder=f"ud_{lang}",
+        train_file=f"{treebank}-ud-train.conllu",
+        dev_file=f"{treebank}-ud-dev.conllu",
+        test_file=f"{treebank}-ud-test.conllu",
+        tag_layer=None, format="conllu")
 
 
 def _multiconer(lang: str) -> CorpusEntry:
@@ -73,6 +91,16 @@ CORPUS_REGISTRY: Dict[str, CorpusEntry] = {
         "emerging.test.annotated"),
     # WikiAnn / PAN-X per-language silver NER
     "PANX": CorpusEntry({0: "text", 1: "ner"}, "panx"),
+    # UD treebanks for the parsing targets (reference upos/dependency
+    # corpus lists, config/test.yaml + flair/datasets.py:1006)
+    "UD_ENGLISH": _ud("en_ewt"),
+    "UD_GERMAN": _ud("de_gsd"),
+    "UD_FRENCH": _ud("fr_gsd"),
+    "UD_ITALIAN": _ud("it_isdt"),
+    "UD_DUTCH": _ud("nl_alpino"),
+    "UD_SPANISH": _ud("es_gsd"),
+    "UD_PORTUGUESE": _ud("pt_bosque"),
+    "UD_JAPANESE": _ud("ja_gsd"),
 }
 for _track in MULTICONER_TRACKS:
     CORPUS_REGISTRY[f"MULTICONER_{_track}"] = _multiconer(_track)
@@ -102,6 +130,7 @@ def corpus_spec(name: str, data_root: str | Path, **overrides):
         dev_file=e.dev_file,
         test_file=e.test_file,
         tag_to_bioes=e.tag_layer,
+        format=e.format,
     )
     fields.update(overrides)
     return CorpusSpec(**fields)
