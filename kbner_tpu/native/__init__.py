@@ -24,7 +24,9 @@ _LIB_ANALYZER: Optional[ctypes.CDLL] = None
 
 
 def _compile(src_name: str, so_path: Path, force: bool) -> bool:
-    if so_path.exists() and not force:
+    # stale .so (older than its source) is rebuilt automatically
+    if (so_path.exists() and not force
+            and so_path.stat().st_mtime >= (_DIR / src_name).stat().st_mtime):
         return True
     try:
         subprocess.run(
@@ -50,7 +52,7 @@ def _load() -> Optional[ctypes.CDLL]:
     global _LIB
     if _LIB is not None:
         return _LIB
-    if not _SO.exists() and not build_library():
+    if not build_library() and not _SO.exists():
         return None
     try:
         lib = ctypes.CDLL(str(_SO))
@@ -66,8 +68,91 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float),
     ]
     lib.gather_postings.restype = None
+    lib.tiny_exact.argtypes = [
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.tiny_exact.restype = ctypes.c_int64
     _LIB = lib
     return lib
+
+
+# reusable dense accumulators for tiny_exact, keyed by n_docs
+_TINY_SCRATCH: dict = {}
+_TINY_EPOCH = [1]
+
+
+def gather_tiny_exact(offsets, p_doc, p_imp, q_terms, q_weights, is_tiny,
+                      n_docs):
+    """Native tiny-exact gather (see postings.cc::tiny_exact): per query,
+    dedup-accumulated (impact, weight*impact) sums over every posting of
+    every tiny query term — the compact-rows engine's host-side exact
+    block. Returns (doc [Q, T], imp, exact) or None when the native
+    library is unavailable (callers fall back to vectorized NumPy)."""
+    lib = _load()
+    if lib is None:
+        return None
+    Q, L = q_terms.shape
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    p_doc = np.ascontiguousarray(p_doc, np.int32)
+    p_imp = np.ascontiguousarray(p_imp, np.float32)
+    qt = np.ascontiguousarray(q_terms, np.int32)
+    qw = np.ascontiguousarray(q_weights, np.float32)
+    tiny = np.ascontiguousarray(is_tiny, np.uint8)
+    key = int(n_docs)
+    if key not in _TINY_SCRATCH:
+        _TINY_SCRATCH[key] = (
+            np.zeros(n_docs, np.int32), np.empty(n_docs, np.float32),
+            np.empty(n_docs, np.float32), np.empty(n_docs, np.int32))
+    ep, im, ex, dl = _TINY_SCRATCH[key]
+    if _TINY_EPOCH[0] > 2**31 - 4 * Q:
+        ep[:] = 0
+        _TINY_EPOCH[0] = 1
+
+    def call(T, out_doc, out_imp, out_ex):
+        base = _TINY_EPOCH[0]
+        _TINY_EPOCH[0] += Q
+        return int(lib.tiny_exact(
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            p_doc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            p_imp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            qt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            qw.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            tiny.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            Q, L, T, n_docs,
+            ep.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            im.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ex.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            dl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            base,
+            out_doc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out_imp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out_ex.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ))
+
+    none = np.empty(0, np.int32), np.empty(0, np.float32), np.empty(
+        0, np.float32)
+    max_docs = call(0, *none)  # measuring pass (no output)
+    T = ((max_docs + 127) // 128) * 128
+    out_doc = np.full((Q, T), -1, np.int32)
+    out_imp = np.zeros((Q, T), np.float32)
+    out_ex = np.zeros((Q, T), np.float32)
+    if T:
+        call(T, out_doc, out_imp, out_ex)
+    return out_doc, out_imp, out_ex
 
 
 def gather_postings(
@@ -173,7 +258,7 @@ def _load_analyzer() -> Optional[ctypes.CDLL]:
     global _LIB_ANALYZER
     if _LIB_ANALYZER is not None:
         return _LIB_ANALYZER
-    if not _SO_ANALYZER.exists() and not build_analyzer_library():
+    if not build_analyzer_library() and not _SO_ANALYZER.exists():
         return None
     try:
         lib = ctypes.CDLL(str(_SO_ANALYZER))

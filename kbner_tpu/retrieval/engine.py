@@ -309,8 +309,12 @@ class RetrievalEngine:
                     # the title alone (bool.should)
                     idx_obj = (self.text_index if name == "text"
                                else self.title_index)
+                    # compact mode: the device never looks up tiny text
+                    # terms (host-gathered exact block covers them), so
+                    # their postings leave the device CSR entirely
                     off32, packed, clo, cstep = idx_obj.csr_rows_packed(
-                        cap=self.per_term_cap)
+                        cap=self.per_term_cap,
+                        min_df=(self.tiny_cap if name == "text" else 0))
                     if name == "text":
                         self._csr_scale = (clo, cstep)
                         self._device_csr = (
@@ -394,10 +398,21 @@ class RetrievalEngine:
         _, lo, step = log_quantize(
             di_padded[dt_padded >= 0].astype(np.float32), bits=8)
         offs, pks = [], []
+        # compact mode: drop GLOBAL-df-tiny text terms from every shard's
+        # CSR — the host exact block covers them, the device never looks
+        # them up (mirrors the unsharded min_df drop)
+        gdf = None
+        if (self.compact_rows and index is not None
+                and index is self.text_index and self.tiny_cap > 0):
+            gdf = index.csr[3]
         for s in range(S):
             sl_t = dt_padded[s * ss:(s + 1) * ss]
             sl_i = di_padded[s * ss:(s + 1) * ss]
             valid = sl_t >= 0
+            if gdf is not None:
+                valid &= np.where(sl_t >= 0,
+                                  gdf[np.maximum(sl_t, 0)] > self.tiny_cap,
+                                  False)
             terms = sl_t[valid]
             docs = np.nonzero(valid)[0].astype(np.int32)
             imps = sl_i[valid].astype(np.float32)
@@ -489,79 +504,130 @@ class RetrievalEngine:
 
         return run
 
-    def _select_rare_terms(self, q_terms: np.ndarray, q_weights: np.ndarray,
+    def _select_rare_terms(self, q_terms: np.ndarray,
                            index: Optional[BM25Index] = None,
                            df_cap: Optional[int] = None,
-                           n_slots: Optional[int] = None,
-                           tiny_cap: int = 0,
-                           ) -> Tuple[np.ndarray, np.ndarray]:
-        """Per query: the ``n_slots`` lowest-df in-vocab terms with
-        df <= df_cap (MaxScore-style pass-1 term selection). Returns
-        (rare ids [Q, n], exact weights [Q, n]): the exact weight is the
-        term's query weight when its WHOLE posting list fits one pass-1
-        window (df <= tiny_cap — compact-rows scoring), else 0."""
+                           df_floor: int = 0) -> np.ndarray:
+        """Per query: the ``rare_terms`` lowest-df in-vocab terms with
+        df_floor < df <= df_cap (MaxScore-style pass-1 term selection).
+        In compact-rows mode ``df_floor`` excludes the tiny terms — their
+        full contributions arrive via the host-gathered exact block, so a
+        window would double-count them in the ranking partial."""
         index = index or self.text_index
         df = index.csr[3]
         cap = df_cap if df_cap is not None else self.df_cap
         Q, Lq = q_terms.shape
-        M = n_slots if n_slots is not None else self.rare_terms
+        M = self.rare_terms
         term_df = np.where(
             q_terms >= 0, df[np.maximum(q_terms, 0)], np.iinfo(np.int64).max)
-        term_df = np.where(term_df <= cap, term_df,
+        term_df = np.where((term_df <= cap) & (term_df > df_floor), term_df,
                            np.iinfo(np.int64).max)
         order = np.argsort(term_df, axis=1, kind="stable")[:, :M]
         rare = np.take_along_axis(q_terms, order, axis=1).astype(np.int32)
         picked_df = np.take_along_axis(term_df, order, axis=1)
         rare[picked_df == np.iinfo(np.int64).max] = -1
-        w_exact = np.where(
-            (rare >= 0) & (picked_df <= tiny_cap),
-            np.take_along_axis(q_weights, order, axis=1), 0.0
-        ).astype(np.float32)
-        return rare, w_exact
+        return rare
 
-    def _rare_width(self, q_terms: np.ndarray) -> int:
-        """Pass-1 rare-block width for this batch: at least the configured
-        ``rare_terms``, widened (in steps of 4, bounding recompiles) so
-        EVERY tiny query term is selected — compact rows removed those
-        terms from pass 2, so missing one would lose its contribution."""
-        M = self.rare_terms
-        if not self.compact_rows:
-            return M
-        df = self.text_index.csr[3]
-        tiny = (q_terms >= 0) & (
-            df[np.maximum(q_terms, 0)] <= self.tiny_cap)
-        need = int(tiny.sum(axis=1).max(initial=0))
-        if need > M:
-            M = min(((need + 3) // 4) * 4, q_terms.shape[1])
-        return M
+    def _gather_tiny_exact(self, q_terms: np.ndarray, q_weights: np.ndarray
+                           ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Host-side EXACT scoring block for tiny terms (df <= tiny_cap):
+        per query, every posting of every tiny query term, deduplicated by
+        doc with impact sums and weighted (exact) sums.
+
+        Compact rows removed tiny terms from the device's pass-2 rows;
+        their full posting lists are small by definition, so the host CSR
+        (full f32 impacts — no 8-bit loss) gathers and pre-merges them in
+        one vectorized pass. Returns (doc [Q, T], imp [Q, T], exact
+        [Q, T]) with -1/0 padding; T adapts to the batch (multiple of
+        128, bounding jit variants).
+        """
+        offsets, p_doc, p_imp, df = self.text_index.csr
+        Q, Lq = q_terms.shape
+        safe = np.maximum(q_terms, 0)
+        is_tiny = (q_terms >= 0) & (df[safe] <= self.tiny_cap)
+
+        from ..native import gather_tiny_exact as native_gather
+
+        res = native_gather(offsets, p_doc, p_imp, q_terms, q_weights,
+                            is_tiny, self.text_index.n_docs)
+        if res is not None:
+            return res
+
+        # vectorized NumPy fallback: one flat gather of every query's tiny
+        # windows, then a single sort-free groupby over (query, doc) keys
+        qidx, tpos = np.nonzero(is_tiny)
+        if len(qidx) == 0:
+            z = np.zeros((Q, 0), np.float32)
+            return np.full((Q, 0), -1, np.int32), z, z
+        terms = q_terms[qidx, tpos].astype(np.int64)
+        ws = q_weights[qidx, tpos].astype(np.float32)
+        dfs = df[terms]
+        total = int(dfs.sum())
+        cum = np.cumsum(dfs) - dfs
+        flat = (np.repeat(offsets[terms], dfs)
+                + (np.arange(total) - np.repeat(cum, dfs)))
+        docs = p_doc[flat].astype(np.int64)
+        imps = p_imp[flat]
+        qs = np.repeat(qidx.astype(np.int64), dfs)
+        wrep = np.repeat(ws, dfs)
+        key = qs * self.text_index.n_docs + docs
+        uniq, inv = np.unique(key, return_inverse=True)
+        s_imp = np.bincount(inv, weights=imps).astype(np.float32)
+        s_ex = np.bincount(inv, weights=imps * wrep).astype(np.float32)
+        uq = (uniq // self.text_index.n_docs).astype(np.int64)
+        ud = (uniq % self.text_index.n_docs).astype(np.int32)
+        counts = np.bincount(uq, minlength=Q)
+        T = ((int(counts.max(initial=0)) + 127) // 128) * 128
+        pos = np.arange(len(uniq)) - np.repeat(
+            np.cumsum(counts) - counts, counts)
+        out_doc = np.full((Q, T), -1, np.int32)
+        out_imp = np.zeros((Q, T), np.float32)
+        out_ex = np.zeros((Q, T), np.float32)
+        out_doc[uq, pos] = ud
+        out_imp[uq, pos] = s_imp
+        out_ex[uq, pos] = s_ex
+        return out_doc, out_imp, out_ex
 
     def _pack_queries(self, q_terms, q_weights, extra_fields
                       ) -> Tuple[np.ndarray, Tuple[int, ...], int]:
         """ONE host->device array per query batch: [Q, blocks] int32
-        carrying the rare-term ids, their float-bitcast exact weights
-        (compact-rows pass-1-exact scoring), then each field's term ids
-        and float-bitcast weights. Under the remote-execution tunnel
-        every transfer costs a ~30 ms round trip, which dominated the
-        pruned path (measured: a no-op dispatch is as expensive as the
-        whole device-side search); packing makes it a single upload."""
-        m_eff = self._rare_width(q_terms)
-        rare, wex = self._select_rare_terms(
-            q_terms, q_weights, n_slots=m_eff, tiny_cap=self.tiny_cap)
+        carrying the rare-term ids, the host-gathered tiny-exact block
+        (compact-rows mode), then each field's term ids and float-bitcast
+        weights. Under the remote-execution tunnel every transfer costs a
+        ~30 ms round trip, which dominated the pruned path (measured: a
+        no-op dispatch is as expensive as the whole device-side search);
+        packing makes it a single upload."""
+        df_floor = self.tiny_cap if self.compact_rows else 0
+        rare = self._select_rare_terms(q_terms, df_floor=df_floor)
         segs = [rare.astype(np.int32)]
-        wex_segs = [wex.view(np.int32)]
         if extra_fields and self._device_csr_title is not None:
             # a second rare block drives title-CSR candidate generation:
             # ES bool.should reaches a doc through ANY field, so a doc
             # matching only the entity's title terms must still become a
-            # candidate. Title rows are never compacted (small field), so
-            # its exact weights are zero.
+            # candidate (title rows are never compacted)
             tcap = max(256, self.title_index.n_docs // 20)
-            t_rare, _ = self._select_rare_terms(
-                extra_fields[0][0], extra_fields[0][1],
-                index=self.title_index, df_cap=tcap, n_slots=m_eff)
-            segs.append(t_rare)
-            wex_segs.append(np.zeros_like(t_rare))
-        segs += wex_segs
+            segs.append(self._select_rare_terms(
+                extra_fields[0][0], index=self.title_index, df_cap=tcap))
+        t_cols = 0
+        if self.compact_rows:
+            t_doc, _, t_ex = self._gather_tiny_exact(q_terms, q_weights)
+            # Only (doc, weighted sum) ship: the weighted sum serves BOTH
+            # as the exact pass-2 contribution and as the tiny block's
+            # ranking partial (weights are term multiplicities, ~always 1
+            # for text). Halves the largest upload block.
+            # Bucket the block width to powers of two: a fresh width per
+            # batch would recompile the jitted search every call.
+            t_cols = t_doc.shape[1]
+            if t_cols:
+                bucket = 256
+                while bucket < t_cols:
+                    bucket *= 2
+                pad = bucket - t_cols
+                t_doc = np.pad(t_doc, ((0, 0), (0, pad)),
+                               constant_values=-1)
+                t_ex = np.pad(t_ex, ((0, 0), (0, pad)))
+                t_cols = bucket
+            segs += [t_doc, t_ex.view(np.int32)]
         segs += [np.ascontiguousarray(q_terms, np.int32),
                  np.ascontiguousarray(q_weights, np.float32).view(np.int32)]
         lqs = [q_terms.shape[1]]
@@ -569,7 +635,7 @@ class RetrievalEngine:
             segs.append(np.ascontiguousarray(ft, np.int32))
             segs.append(np.ascontiguousarray(fw, np.float32).view(np.int32))
             lqs.append(ft.shape[1])
-        return np.concatenate(segs, axis=1), tuple(lqs), m_eff
+        return np.concatenate(segs, axis=1), tuple(lqs), t_cols
 
     @staticmethod
     def unpack_result(out: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -588,8 +654,8 @@ class RetrievalEngine:
             if "title" not in self._device_rows:
                 raise ValueError("engine built without a title index")
             extra.append((title_terms, title_weights))
-        packed, lqs, m_eff = self._pack_queries(q_terms, q_weights, extra)
-        run = self._pruned_topk_fn(k, lqs, self.per_term_cap, m_eff)
+        packed, lqs, t_cols = self._pack_queries(q_terms, q_weights, extra)
+        run = self._pruned_topk_fn(k, lqs, self.per_term_cap, t_cols)
         csr_arrays = list(self._device_csr)
         if extra and self._device_csr_title is not None:
             csr_arrays += list(self._device_csr_title)
@@ -605,16 +671,17 @@ class RetrievalEngine:
         return self.unpack_result(out)
 
     def _pruned_topk_fn(self, k: int, lqs: Tuple[int, ...],
-                        per_term_cap: int, m_eff: Optional[int] = None):
+                        per_term_cap: int, t_cols: int = 0):
         """Cached jitted closure for pruned search over a PACKED query
         array (see :meth:`_pack_queries`) — a fresh jit per call would
         recompile every query batch, and separate per-array transfers
-        would each pay the tunnel round trip."""
+        would each pay the tunnel round trip. ``t_cols`` is the width of
+        the host-gathered tiny-exact block (0 when absent)."""
         cached = getattr(self, "_pruned_cache", None)
         if cached is None:
             cached = self._pruned_cache = {}
-        M = m_eff if m_eff is not None else self.rare_terms
-        key = (k, lqs, per_term_cap, M)
+        M = self.rare_terms
+        key = (k, lqs, per_term_cap, t_cols)
         if key in cached:
             return cached[key]
 
@@ -634,7 +701,9 @@ class RetrievalEngine:
         with_title_csr = (len(lqs) > 1
                           and self._device_csr_title is not None)
         n_rare_blocks = 2 if with_title_csr else 1
-        m_dup = M * n_rare_blocks
+        # dups per doc <= one per rare-block window + 1 for the (already
+        # host-deduplicated) tiny-exact block entry
+        m_dup = M * n_rare_blocks + (1 if t_cols else 0)
         tcsr_lo, tcsr_step = self._csr_scale_title
 
         from ..ops.bm25 import bm25_pruned_topk, gather_pruned_candidates
@@ -643,11 +712,14 @@ class RetrievalEngine:
             rares = [packed[:, i * M:(i + 1) * M]
                      for i in range(n_rare_blocks)]
             pos = M * n_rare_blocks
-            wexs = [jax.lax.bitcast_convert_type(
-                packed[:, pos + i * M: pos + (i + 1) * M], jnp.float32)
-                for i in range(n_rare_blocks)]
+            tiny = None
+            if t_cols:
+                t_doc = packed[:, pos: pos + t_cols]
+                t_ex = jax.lax.bitcast_convert_type(
+                    packed[:, pos + t_cols: pos + 2 * t_cols], jnp.float32)
+                tiny = (t_doc, t_ex)
+                pos += 2 * t_cols
             fields = []
-            pos += M * n_rare_blocks
             for f, lq in enumerate(lqs):
                 qt = packed[:, pos: pos + lq]
                 qw = jax.lax.bitcast_convert_type(
@@ -656,23 +728,27 @@ class RetrievalEngine:
                 tb, lo, step, _ = row_meta[f]
                 flat, off, lens = row_arrays[3 * f: 3 * f + 3]
                 fields.append((qt, qw, flat, off, lens, tb, lo, step))
-            return rares, wexs, tuple(fields)
+            return rares, tiny, tuple(fields)
 
-        def pooled_topk(rares, wexs, csrs, fields, n_docs):
-            cds, cis, ces = [], [], []
-            for rare, wex, (off, pk, lo, step) in zip(rares, wexs, csrs):
+        def pooled_topk(rares, tiny, csrs, fields, n_docs):
+            cds, cis = [], []
+            for rare, (off, pk, lo, step) in zip(rares, csrs):
                 cd, ci = gather_pruned_candidates(
                     rare, off, pk, per_term_cap, lo, step)
                 cds.append(cd)
                 cis.append(ci)
-                if with_exact:
-                    # weighted window impacts of tiny-exact terms: the
-                    # gather lays postings out [Q, M, R*128] flattened
-                    Qb = cd.shape[0]
-                    ces.append((ci.reshape(Qb, M, -1)
-                                * wex[:, :, None]).reshape(Qb, -1))
-            c_exact = (jnp.concatenate(ces, axis=1) if with_exact
-                       else None)
+            c_exact = None
+            if tiny is not None:
+                t_doc, t_ex = tiny
+                # the tiny block joins the candidate pool: its weighted
+                # sums rank (f32-exact) AND add to pass-2 totals (those
+                # terms have no pass-2 row slots)
+                zeros = jnp.zeros(
+                    (t_doc.shape[0], sum(c.shape[1] for c in cds)),
+                    jnp.float32)
+                cds.append(t_doc)
+                cis.append(t_ex)
+                c_exact = jnp.concatenate([zeros, t_ex], axis=1)
             return bm25_pruned_topk(
                 jnp.concatenate(cds, axis=1),
                 jnp.concatenate(cis, axis=1),
@@ -694,8 +770,8 @@ class RetrievalEngine:
                 if with_title_csr:
                     csrs.append(
                         (csr_flat[2], csr_flat[3], tcsr_lo, tcsr_step))
-                rares, wexs, fields = unpack_queries(packed, row_arrays)
-                scores, ids = pooled_topk(rares, wexs, csrs, fields, n_real)
+                rares, tiny, fields = unpack_queries(packed, row_arrays)
+                scores, ids = pooled_topk(rares, tiny, csrs, fields, n_real)
                 return pack_result(scores, ids)
 
             cached[key] = run
@@ -712,8 +788,16 @@ class RetrievalEngine:
             if with_title_csr:
                 csrs.append(
                     (csr_flat[2][0], csr_flat[3][0], tcsr_lo, tcsr_step))
-            rares, wexs, fields = unpack_queries(packed, local_rows)
-            s_scores, s_ids = pooled_topk(rares, wexs, csrs, fields,
+            rares, tiny, fields = unpack_queries(packed, local_rows)
+            if tiny is not None:
+                # tiny-block doc ids are GLOBAL; keep only this shard's
+                # slice in local coordinates (out-of-shard -> pad)
+                t_doc, t_ex = tiny
+                local = t_doc - shard_idx * shard_size
+                ok = (t_doc >= 0) & (local >= 0) & (local < shard_size)
+                tiny = (jnp.where(ok, local, -1),
+                        jnp.where(ok, t_ex, 0.0))
+            s_scores, s_ids = pooled_topk(rares, tiny, csrs, fields,
                                           shard_size)
             s_ids = jnp.where(
                 s_ids >= 0, s_ids + shard_idx * shard_size, -1)

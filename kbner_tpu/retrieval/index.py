@@ -204,29 +204,41 @@ class BM25Index:
         return (offsets.astype(np.int32), pd.reshape(nr, lanes),
                 pi.reshape(nr, lanes))
 
-    def csr_capped(self, cap: int):
-        """CSR truncated to each term's ``cap`` highest-impact postings.
+    def csr_capped(self, cap: int, min_df: int = 0):
+        """CSR truncated to each term's ``cap`` highest-impact postings,
+        dropping terms with df <= ``min_df`` entirely.
 
         Pass 1 of the pruned engine never reads past its per-term window
         cap, so postings beyond it are dead HBM weight — the capped CSR is
         what actually goes on device (VERDICT r2 #1: the full CSR was one
-        of the two full copies of the index). Returns (offsets int64
-        [V+1], doc ids, impacts) over the capped postings."""
+        of the two full copies of the index). In compact-rows mode the
+        device additionally never LOOKS UP tiny terms (df <= tiny_cap —
+        the host-gathered exact block covers them), and at wiki scale
+        those are the majority of postings, so ``min_df`` shrinks the
+        device CSR to just the mid-frequency window prefixes. Returns
+        (offsets int64 [V+1], doc ids, impacts)."""
         offsets, p_doc, p_imp, df = self.csr
         V = len(self.vocab)
-        if cap <= 0 or (df <= cap).all():
+        if (cap <= 0 or (df <= cap).all()) and min_df <= 0:
             return offsets, p_doc, p_imp
         # position of each posting within its term's range
         starts = offsets[:-1]
         pos = np.arange(len(p_doc), dtype=np.int64) - np.repeat(starts, df)
-        keep = pos < cap
-        df_c = np.minimum(df, cap)
+        df_c = df.copy()
+        keep = np.ones(len(p_doc), bool)
+        if cap > 0:
+            keep &= pos < cap
+            np.minimum(df_c, cap, out=df_c)
+        if min_df > 0:
+            tiny = df <= min_df
+            keep &= ~np.repeat(tiny, df)
+            df_c[tiny] = 0
         off_c = np.zeros(V + 1, dtype=np.int64)
         np.cumsum(df_c, out=off_c[1:])
         return off_c, p_doc[keep], p_imp[keep]
 
     def csr_rows_packed(self, lanes: int = 128, guard_rows: int = 32,
-                        cap: int = 0):
+                        cap: int = 0, min_df: int = 0):
         """Packed row-blocked postings: ONE int32 per posting —
         ``(impact8 << 24) | doc_id`` — halving both the HBM footprint and
         the pass-1 row-gather count vs the two-array :meth:`csr_rows`
@@ -235,9 +247,11 @@ class BM25Index:
         streaming-friendly equivalent, and pass-1 impacts only rank
         candidates so 8 bits is plenty). ``cap`` > 0 keeps only each
         term's ``cap`` highest-impact postings (the engine's per-term
-        pass-1 window — deeper postings are unreachable). Returns
-        (offsets int32 [V+1], packed [NR, lanes] int32, lo, step)."""
-        offsets, p_doc, p_imp = self.csr_capped(cap)
+        pass-1 window — deeper postings are unreachable); ``min_df``
+        drops tiny terms the device never looks up (compact-rows mode).
+        Returns (offsets int32 [V+1], packed [NR, lanes] int32, lo,
+        step)."""
+        offsets, p_doc, p_imp = self.csr_capped(cap, min_df=min_df)
         return (offsets.astype(np.int32),) + pack_postings(
             p_doc, p_imp, lanes=lanes, guard_rows=guard_rows)
 

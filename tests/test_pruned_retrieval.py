@@ -75,18 +75,16 @@ def test_pruned_matches_exhaustive_recall(corpus_index):
     pruned_full = RetrievalEngine(index, mode="pruned", rare_terms=12,
                                   posting_budget=4096, n_candidates=128,
                                   compact_rows=False)
-    # default compact rows: tiny terms scored from their full pass-1
-    # windows (8-bit CSR codes) — same docs, scores within the 8-bit
-    # log-quantization step
+    # default compact rows: tiny terms scored exactly from the host CSR
+    # (f32), mid terms from the 12-bit device rows
     pruned_compact = RetrievalEngine(index, mode="pruned", rare_terms=12,
                                      posting_budget=4096, n_candidates=128)
     r_exact = exact.search(queries, k=10)
 
-    # the compact engine's 8-bit tiny-term scores can flip a rank-10
-    # near-tie on this 400-doc corpus (bench measures its true recall at
-    # collection scale with a score-aware metric: 0.99+)
+    # compact tiny-term scores are host-gathered f32 (exact); mid terms
+    # rescore from 12-bit rows in both engines
     for pruned, rel, bar in ((pruned_full, 1e-4, 0.99),
-                             (pruned_compact, 1e-2, 0.98)):
+                             (pruned_compact, 5e-4, 0.99)):
         r_pruned = pruned.search(queries, k=10)
         recalls = []
         for a, b in zip(r_exact, r_pruned):
@@ -304,4 +302,4 @@ def test_pruned_entity_boost_matches_exhaustive(corpus_index):
         assert {d.doc_id for d in a} == {d.doc_id for d in b}
         np.testing.assert_allclose(
             sorted(d.score for d in a), sorted(d.score for d in b),
-            rtol=1e-2)  # log-quantized impacts (8-bit for tiny terms)
+            rtol=2e-3)  # 12-bit log-quantized row impacts
