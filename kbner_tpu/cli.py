@@ -171,11 +171,18 @@ def _build(config):
         tag_dict = corpus.make_tag_dictionary(config.tag_layer)
 
     enc_cfg = config.make_encoder_config(tokenizer)
+    # enhanced_crf: one transition matrix per corpus language, selected by
+    # lang_ids (sequence_tagger_model.py:391-415); transition_attention
+    # mixes them per sentence (:411-415, :1054-1063)
+    n_langs = (len(corpus.corpora)
+               if config.model.get("enhanced_crf", False) else 0)
     tagger_cfg = TaggerConfig.for_tag_dictionary(
         enc_cfg, tag_dict,
         use_crf=config.model.get("use_crf", True),
         locked_dropout=config.model.get("locked_dropout", 0.5),
         word_dropout=config.model.get("word_dropout", 0.05),
+        num_languages=n_langs,
+        transition_attention=config.model.get("transition_attention", False),
     )
     sample = corpus.train[:2] or corpus.dev_list[0][:2]
     example = encode_batch(sample, tokenizer, tag_dict,

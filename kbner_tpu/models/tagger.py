@@ -44,6 +44,14 @@ class TaggerConfig:
     # enhanced per-language CRF: one transition matrix per corpus/language,
     # selected by batch lang_ids (sequence_tagger_model.py:391-415)
     num_languages: int = 0  # 0 = shared transitions
+    # transition ATTENTION (sequence_tagger_model.py:411-415,1054-1063):
+    # per-sentence soft mixture over the per-language transition matrices,
+    # predicted from pooled sentence features instead of hard lang_ids.
+    # Design note: the reference mixes with the RAW linear outputs; here
+    # the weights are softmax-normalized, which keeps the -10000
+    # START/STOP constraint rows intact under mixing and the transition
+    # magnitudes stable.
+    transition_attention: bool = False
 
     @classmethod
     def for_tag_dictionary(cls, encoder: XLMRConfig, tag_dict, **kw):
@@ -77,6 +85,16 @@ class SequenceTagger(nn.Module):
                 shape = (cfg.num_languages,) + shape
             self.transitions = self.param(
                 "transitions", nn.initializers.normal(stddev=1.0), shape)
+            if cfg.num_languages > 0 and cfg.transition_attention:
+                # explicit params (not nn.Dense): registered at setup so
+                # init paths that never mix transitions still create them
+                self.sent_to_trans_att = self.param(
+                    "sent_to_trans_att",
+                    nn.initializers.normal(stddev=0.02),
+                    (cfg.encoder.hidden_size, cfg.num_languages))
+                self.sent_to_trans_att_b = self.param(
+                    "sent_to_trans_att_b", nn.initializers.zeros,
+                    (cfg.num_languages,))
 
     def transition_matrix(self, lang_ids: Optional[jnp.ndarray] = None
                           ) -> jnp.ndarray:
@@ -93,7 +111,23 @@ class SequenceTagger(nn.Module):
             return t[jnp.clip(lang_ids, 0, cfg.num_languages - 1)]
         return t
 
-    def _batch_transitions(self, batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    def _batch_transitions(self, batch: Dict[str, jnp.ndarray],
+                           feats: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        cfg = self.config
+        if (cfg.use_crf and cfg.num_languages > 0
+                and cfg.transition_attention and feats is not None):
+            # attention-combined transitions [B, K, K]: softmax weights
+            # over the L matrices from mean-pooled sentence features
+            t = self.transitions
+            t = t.at[..., :, cfg.start_idx].set(NO_TRANS)
+            t = t.at[..., cfg.stop_idx, :].set(NO_TRANS)
+            m = batch["word_mask"].astype(jnp.float32)[:, :, None]
+            sent = (feats.astype(jnp.float32) * m).sum(1) / jnp.maximum(
+                m.sum(1), 1.0)
+            att = jax.nn.softmax(
+                sent @ self.sent_to_trans_att + self.sent_to_trans_att_b,
+                axis=-1)
+            return jnp.einsum("bl,lij->bij", att, t)
         return self.transition_matrix(batch.get("lang_ids"))
 
     def _extract_features(
@@ -159,11 +193,13 @@ class SequenceTagger(nn.Module):
     ):
         """Mean per-sentence loss (reference `_calculate_loss`, :2426-2506)."""
         cfg = self.config
-        emissions = self.emissions(batch, deterministic=deterministic)
+        feats = self._word_features(batch, deterministic)
+        emissions = self.emission(feats.astype(jnp.float32))
         if cfg.use_crf:
             nll = crf_neg_log_likelihood(
                 emissions, batch["tag_ids"], batch["crf_mask"],
-                self._batch_transitions(batch), cfg.start_idx, cfg.stop_idx)
+                self._batch_transitions(batch, feats), cfg.start_idx,
+                cfg.stop_idx)
             loss = jnp.mean(nll)
         else:
             logp = jax.nn.log_softmax(emissions, axis=-1)
@@ -187,10 +223,12 @@ class SequenceTagger(nn.Module):
         marginals instead of Viterbi (the reference's posterior decode,
         sequence_tagger_model.py:1182-1192)."""
         cfg = self.config
-        emissions = self.emissions(batch, deterministic=True)
+        feats = self._word_features(batch, deterministic=True)
+        emissions = self.emission(feats.astype(jnp.float32))
         if cfg.use_crf and posterior:
             marg = crf_marginals(
-                emissions, batch["crf_mask"], self._batch_transitions(batch),
+                emissions, batch["crf_mask"],
+                self._batch_transitions(batch, feats),
                 cfg.start_idx, cfg.stop_idx)
             tags = jnp.argmax(marg, axis=-1).astype(jnp.int32)
             tags = jnp.where(batch["crf_mask"].astype(bool), tags, pad_tag)
@@ -200,7 +238,8 @@ class SequenceTagger(nn.Module):
             return tags, score
         if cfg.use_crf:
             return crf_decode(
-                emissions, batch["crf_mask"], self._batch_transitions(batch),
+                emissions, batch["crf_mask"],
+                self._batch_transitions(batch, feats),
                 cfg.start_idx, cfg.stop_idx, pad_tag=pad_tag)
         tags = jnp.argmax(emissions, axis=-1).astype(jnp.int32)
         score = jnp.max(jax.nn.log_softmax(emissions, -1), axis=-1).sum(-1)

@@ -126,3 +126,32 @@ def test_per_language_crf(tmp_path, multi_corpus):
     # prediction still runs (mixed-language batch)
     preds = trainer.predict(multi_corpus.train[:6])
     assert len(preds) == 6
+
+
+def test_transition_attention(tmp_path, multi_corpus):
+    """Attention-combined transitions (sequence_tagger_model.py:411-415,
+    :1054-1063): per-sentence softmax mixture over the per-language
+    matrices, predicted from pooled sentence features."""
+    tag_dict = multi_corpus.make_tag_dictionary("ner")
+    tok = HashTokenizer(vocab_size=997)
+    cfg = TaggerConfig.for_tag_dictionary(
+        XLMRConfig.tiny(vocab_size=1000), tag_dict,
+        locked_dropout=0.0, word_dropout=0.0,
+        num_languages=len(multi_corpus.corpora),
+        transition_attention=True)
+    eb = encode_batch(multi_corpus.train[:4], tok, tag_dict)
+    model, params = init_tagger(
+        cfg, jax.random.PRNGKey(0),
+        {k: jnp.asarray(v) for k, v in eb.arrays().items()})
+    assert "sent_to_trans_att" in params["params"]
+    trainer = FinetuneTrainer(model, params, multi_corpus, tok, tag_dict)
+    result = trainer.train(tmp_path / "ta", TrainConfig(
+        learning_rate=1e-3, lr_rate=1.0, batch_size=8, max_epochs=10))
+    hist = result["history"]["train_loss"]
+    assert np.isfinite(hist).all() and hist[-1] < hist[0]
+    preds = trainer.predict(multi_corpus.train[:6])
+    assert len(preds) == 6
+    # the mixed transitions keep the START/STOP constraints: decode never
+    # emits the reserved tags
+    reserved = {"<START>", "<STOP>"}
+    assert not any(t in reserved for p in preds for t in p)
