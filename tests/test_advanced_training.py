@@ -203,7 +203,7 @@ def test_per_language_teacher_routing(ctx_setup):
 
     batches = make_batches(lc.train, tokenizer, tag_dict, batch_size=8,
                            shuffle=False, tag_layer="ner")
-    cached = trainer._teacher_emissions(batches)
+    cached = trainer._teacher_emissions(batches, dtype=np.float32)
 
     # recompute each row with its own teacher and compare
     for eb, logits in zip(batches, cached):
@@ -217,3 +217,56 @@ def test_per_language_teacher_routing(ctx_setup):
             if rows.any():
                 np.testing.assert_allclose(
                     logits[rows], want[rows], rtol=1e-5, atol=1e-5)
+
+
+def test_teacher_cache_policies(tmp_path, ctx_setup):
+    """f16 cache (default) halves host memory; lazy recomputes per batch
+    with no cache — all three policies agree and train (VERDICT r2 weak
+    #8: dense f32 caches at corpus scale are tens of GB)."""
+    from kbner_tpu.data.conll import Corpus
+    from kbner_tpu.data.encode import make_batches
+    from kbner_tpu.data.quality_fixture import make_quality_corpus
+
+    _, tag_dict0, tokenizer, cfg, model, params = ctx_setup
+    # a few thousand sentences: the scale where the cache policy matters
+    big = make_quality_corpus(n_train=3000, n_dev=8, n_test=8, seed=1)
+    corpus = Corpus(train=big.train, dev=[], test=[], name="big")
+    tag_dict = corpus.make_tag_dictionary("ner")
+    batch0 = encode_batch(corpus.train[:2], tokenizer, tag_dict)
+    cfg2 = TaggerConfig.for_tag_dictionary(
+        XLMRConfig.tiny(vocab_size=1000), tag_dict,
+        locked_dropout=0.0, word_dropout=0.0)
+    s_model, s_params = init_tagger(
+        cfg2, jax.random.PRNGKey(0),
+        {k: jnp.asarray(v) for k, v in batch0.arrays().items()})
+    t_model, t_params = init_tagger(
+        cfg2, jax.random.PRNGKey(7),
+        {k: jnp.asarray(v) for k, v in batch0.arrays().items()})
+    trainer = DistillationTrainer(
+        s_model, _copy(s_params), corpus, tokenizer, tag_dict,
+        teachers=[(t_model, t_params)])
+
+    batches = make_batches(corpus.train, tokenizer, tag_dict, batch_size=32,
+                           shuffle=False, tag_layer="ner")
+    c16 = trainer._teacher_emissions(batches)          # default f16
+    c32 = trainer._teacher_emissions(batches, dtype=np.float32)
+    assert c16[0].dtype == np.float16
+    b16 = sum(a.nbytes for a in c16)
+    b32 = sum(a.nbytes for a in c32)
+    assert b16 * 2 == b32
+    np.testing.assert_allclose(
+        np.asarray(c16[0], np.float32), c32[0], rtol=2e-3, atol=2e-3)
+    # lazy: per-batch recompute equals the cached emissions
+    emit_fns = [trainer._emit_fn(m) for m, _ in trainer.teachers]
+    lazy0 = trainer._batch_emissions(batches[0], emit_fns)
+    np.testing.assert_allclose(lazy0, c32[0], rtol=1e-5, atol=1e-5)
+
+    # a short lazy training run works end to end (no host cache at all)
+    result = trainer.train(tmp_path / "kd_lazy", DistillConfig(
+        learning_rate=1e-3, lr_rate=1.0, batch_size=32, max_epochs=1,
+        teacher_cache="lazy"))
+    assert np.isfinite(result["history"]["train_loss"]).all()
+
+    with pytest.raises(ValueError, match="teacher_cache"):
+        trainer.train(tmp_path / "kd_bad", DistillConfig(
+            teacher_cache="zstd"))
