@@ -214,6 +214,7 @@ class RetrievalEngine:
         df_cap: Optional[int] = None,
         n_candidates: int = 512,
         compact_rows: bool = True,
+        tiny_df_cap: int = 128,
     ):
         self.text_index = text_index
         self.title_index = title_index
@@ -235,19 +236,20 @@ class RetrievalEngine:
         # pass-1 windows never read past this depth, so the device CSR is
         # built capped to it (full postings would be dead HBM weight)
         self.per_term_cap = max(1, self.posting_budget // self.rare_terms)
-        # COMPACT ROWS: text terms whose WHOLE posting list fits one pass-1
-        # window (df <= tiny_cap) are scored exactly in pass 1 — the rare
-        # block always includes every such query term (adaptive width) and
-        # their weighted window impacts ride through dedup as a second
-        # accumulator — so their slots are dropped from the pass-2 rows.
-        # At wiki scale those "tiny" terms are the majority of postings
-        # (Zipf tail), roughly halving pass-2 row memory. Their score
-        # contributions come from the CSR's 8-bit impact codes instead of
-        # the rows' 12-bit codes — still far inside Lucene's own 1-byte
-        # norm-quantization error. compact_rows=False keeps full rows
-        # (bit-exact pass-2, used by strict score-parity tests).
+        # COMPACT ROWS: "tiny" text terms (df <= tiny_cap) are scored
+        # EXACTLY on the host — their full posting lists are gathered from
+        # the f32 host CSR, deduplicated per query, and shipped as one
+        # extra candidate block — so their slots leave BOTH the pass-2
+        # rows and the device CSR. At wiki scale the Zipf tail is the
+        # majority of postings, so this cuts device memory severalfold at
+        # full f32 precision for those contributions. ``tiny_df_cap``
+        # trades device memory against per-batch upload width (larger cap
+        # = fewer device postings but more host-gathered docs per query);
+        # df <= 128 keeps the upload block narrow while still dropping
+        # the long tail. compact_rows=False keeps full rows (bit-exact
+        # pass-2, used by strict score-parity tests).
         self.compact_rows = compact_rows and mode == "pruned"
-        self.tiny_cap = (min(self.per_term_cap, self.df_cap)
+        self.tiny_cap = (min(tiny_df_cap, self.per_term_cap, self.df_cap)
                          if self.compact_rows else 0)
         self._device_fields: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
         self._device_rows: Dict[str, Tuple[jnp.ndarray, ...]] = {}
@@ -611,12 +613,13 @@ class RetrievalEngine:
         t_cols = 0
         if self.compact_rows:
             t_doc, _, t_ex = self._gather_tiny_exact(q_terms, q_weights)
-            # Only (doc, weighted sum) ship: the weighted sum serves BOTH
-            # as the exact pass-2 contribution and as the tiny block's
-            # ranking partial (weights are term multiplicities, ~always 1
-            # for text). Halves the largest upload block.
-            # Bucket the block width to powers of two: a fresh width per
-            # batch would recompile the jitted search every call.
+            # Only (doc, NEGATED weighted sum) ship: |value| serves as the
+            # tiny block's ranking partial (weights are term
+            # multiplicities, ~always 1 for text), the sign marks it as a
+            # pass-1-exact contribution for the device's 2-operand dedup
+            # sort (ops/bm25.py exact_by_sign). Bucket the block width to
+            # powers of two: a fresh width per batch would recompile the
+            # jitted search every call.
             t_cols = t_doc.shape[1]
             if t_cols:
                 bucket = 256
@@ -627,7 +630,7 @@ class RetrievalEngine:
                                constant_values=-1)
                 t_ex = np.pad(t_ex, ((0, 0), (0, pad)))
                 t_cols = bucket
-            segs += [t_doc, t_ex.view(np.int32)]
+            segs += [t_doc, (-t_ex).view(np.int32)]
         segs += [np.ascontiguousarray(q_terms, np.int32),
                  np.ascontiguousarray(q_weights, np.float32).view(np.int32)]
         lqs = [q_terms.shape[1]]
@@ -737,24 +740,20 @@ class RetrievalEngine:
                     rare, off, pk, per_term_cap, lo, step)
                 cds.append(cd)
                 cis.append(ci)
-            c_exact = None
             if tiny is not None:
+                # the tiny block joins the candidate pool: |sum| ranks
+                # (f32-exact), the negative sign tells the kernel to ADD
+                # the sums to pass-2 totals (those terms have no pass-2
+                # row slots)
                 t_doc, t_ex = tiny
-                # the tiny block joins the candidate pool: its weighted
-                # sums rank (f32-exact) AND add to pass-2 totals (those
-                # terms have no pass-2 row slots)
-                zeros = jnp.zeros(
-                    (t_doc.shape[0], sum(c.shape[1] for c in cds)),
-                    jnp.float32)
                 cds.append(t_doc)
                 cis.append(t_ex)
-                c_exact = jnp.concatenate([zeros, t_ex], axis=1)
             return bm25_pruned_topk(
                 jnp.concatenate(cds, axis=1),
                 jnp.concatenate(cis, axis=1),
                 fields, n_real_docs=n_docs, k=k, n_candidates=n_cand,
                 max_dup_shifts=m_dup, use_pallas=use_pal,
-                ragged_rows=r2s, cand_exact=c_exact)
+                ragged_rows=r2s, exact_by_sign=tiny is not None)
 
         def pack_result(scores, ids):
             return jnp.concatenate(

@@ -1,0 +1,108 @@
+"""zh analyzer fidelity: cjk_analyze's recall vs dictionary segmentation.
+
+VERDICT r2 missing #6 — the reference indexes zh with Elasticsearch's
+``ik_max_word``/``ik_smart`` dictionary analyzers
+(/root/reference/kb/build_kb.py:17-22). No ik/JVM exists here, so the
+claim to pin down is STRUCTURAL: ``cjk_analyze`` (unigrams + overlapping
+bigrams over Han runs) token-covers ANY dictionary segmentation —
+
+  * every 1-char dictionary word is an emitted unigram,
+  * every n>=2-char dictionary word is covered by its bigrams, all of
+    which are emitted for any contiguous Han run containing the word,
+
+so a query containing a dictionary word always shares at least one term
+with every document containing that word: dictionary-retrieval recall is
+a floor, measured here against a toy-dictionary max-match segmenter on a
+frozen zh fixture. Scores differ (bigram df statistics vs word df) —
+that divergence is what the ranking comparison bounds.
+"""
+
+import numpy as np
+
+from kbner_tpu.retrieval import BM25Index, RetrievalEngine
+from kbner_tpu.retrieval.analyzer import cjk_analyze
+
+# toy dictionary + corpus (frozen fixture). Words chosen to include
+# overlapping-segmentation cases (ik_max_word emits overlapping words).
+DICT = ["北京", "大学", "北京大学", "学生", "研究", "研究生", "生活",
+        "中国", "人民", "中国人", "银行", "人民银行", "科学", "技术",
+        "科学技术", "发展"]
+
+DOCS = [
+    "北京大学的学生在研究科学技术",
+    "中国人民银行支持科学发展",
+    "研究生的生活在北京",
+    "人民银行的技术发展很快",
+    "中国的大学重视科学研究",
+    "学生的生活与技术无关",
+    "北京的银行支持研究生",
+    "科学技术是发展的基础",
+]
+
+
+def max_match_segment(text: str, dictionary) -> list:
+    """Greedy forward maximum matching — the classic dictionary-segmenter
+    shape ik derives from. Single chars fall through as unigrams."""
+    words = sorted(dictionary, key=len, reverse=True)
+    out, i = [], 0
+    while i < len(text):
+        for w in words:
+            if text.startswith(w, i):
+                out.append(w)
+                i += len(w)
+                break
+        else:
+            out.append(text[i])
+            i += 1
+    return out
+
+
+def test_bigram_cover_property():
+    """Every dictionary word's unigrams/bigrams are emitted for any text
+    containing it — the structural recall guarantee."""
+    for doc in DOCS:
+        toks = set(cjk_analyze(doc))
+        for w in DICT:
+            if w in doc:
+                if len(w) == 1:
+                    assert w in toks
+                else:
+                    for i in range(len(w) - 1):
+                        assert w[i:i + 2] in toks, (doc, w, w[i:i + 2])
+
+
+def test_dictionary_retrieval_recall_floor():
+    """Docs retrievable under dictionary segmentation are retrievable
+    under cjk_analyze: for each dictionary word, the bigram index finds a
+    superset of the word-index's matching documents."""
+    index = BM25Index.build(DOCS, analyzer=cjk_analyze, pad_docs_to=8)
+    eng = RetrievalEngine(index, use_pallas=False, block_d=8)
+    for w in DICT:
+        want = {i for i, d in enumerate(DOCS) if w in d}
+        if not want:
+            continue
+        res = eng.search([w], k=len(DOCS))[0]
+        got = {d.doc_id for d in res}
+        assert want <= got, (w, want - got)
+
+
+def test_ranking_agreement_with_dictionary_index():
+    """Ranking divergence bound: for full-sentence queries, the bigram
+    index's top-1 matches a dictionary-segmented (max-match) index's
+    top-1 on the frozen fixture — the self-document dominates under both
+    statistics."""
+    dict_analyzer = lambda t: max_match_segment(t, DICT)
+    idx_big = BM25Index.build(DOCS, analyzer=cjk_analyze, pad_docs_to=8)
+    idx_dic = BM25Index.build(DOCS, analyzer=dict_analyzer, pad_docs_to=8)
+    eng_big = RetrievalEngine(idx_big, use_pallas=False, block_d=8)
+    eng_dic = RetrievalEngine(idx_dic, use_pallas=False, block_d=8)
+    top1_agree = 0
+    overlaps = []
+    for qi, q in enumerate(DOCS):
+        rb = eng_big.search([q], k=3)[0]
+        rd = eng_dic.search([q], k=3)[0]
+        top1_agree += rb[0].doc_id == rd[0].doc_id
+        overlaps.append(len({d.doc_id for d in rb}
+                            & {d.doc_id for d in rd}) / 3.0)
+    assert top1_agree == len(DOCS)
+    assert np.mean(overlaps) >= 0.7, overlaps  # frozen-fixture bound
