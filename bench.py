@@ -334,7 +334,7 @@ def bench_quality_gate() -> dict:
              "from kbner_tpu.data.quality_fixture import run_quality_gate;"
              "print(run_quality_gate())"],
             env={**os.environ, "JAX_PLATFORMS": "cpu"},
-            capture_output=True, text=True, timeout=600, check=True,
+            capture_output=True, text=True, timeout=1200, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)))
         return {"train_f1": round(float(out.stdout.strip().split()[-1]), 4)}
     except Exception as e:  # report the failure, don't hide it

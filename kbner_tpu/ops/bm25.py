@@ -333,7 +333,10 @@ def bm25_pruned_topk(
     |value| joins the ranking partial; the negative entries' sums are
     ADDED to the pass-2 rescore. Riding the sign bit keeps the dedup
     sort at two operands — a third f32 operand measured ~1.5x sort cost
-    on v5e.
+    on v5e. ORDERING CONTRACT: the negative entries are host-deduplicated
+    (at most one per (query, doc)) and MUST be concatenated BEFORE the
+    window blocks — the stable doc-sort then leaves each run's exact
+    entry at the run start, so no accumulation pass is needed for it.
     """
     Q, P = cand_doc.shape
     SENTINEL = jnp.int32(2**31 - 2)
@@ -342,27 +345,19 @@ def bm25_pruned_topk(
     # sort each row by doc id, carrying impacts. lax.sort moves the values
     # with the keys inside the sort network — argsort + take_along_axis was
     # measured ~30x slower on v5e (a [Q, P] element gather per array).
-    doc, enc = jax.lax.sort((doc, cand_imp), dimension=1, num_keys=1)
-    if exact_by_sign:
-        imp = jnp.abs(enc)
-        exact = jnp.maximum(-enc, 0.0)
-    else:
-        imp = enc
-        exact = None
+    doc, enc = jax.lax.sort((doc, cand_imp), dimension=1, num_keys=1,
+                            is_stable=True)
+    imp = jnp.abs(enc) if exact_by_sign else enc
 
     # sum duplicate docs (each query term contributes <= once per doc, so
     # duplicates per doc <= #rare terms <= max_dup_shifts)
     summed = imp
-    summed_exact = exact
     for s in range(1, max_dup_shifts):
         if s >= P:
             break
         match = doc[:, s:] == doc[:, :-s]
         summed = summed.at[:, : P - s].add(
             jnp.where(match, imp[:, s:], 0.0))
-        if exact_by_sign:
-            summed_exact = summed_exact.at[:, : P - s].add(
-                jnp.where(match, exact[:, s:], 0.0))
 
     run_start = jnp.concatenate(
         [jnp.ones((Q, 1), bool), doc[:, 1:] != doc[:, :-1]], axis=1)
@@ -450,9 +445,10 @@ def bm25_pruned_topk(
 
     if exact_by_sign:
         # pass-1-exact contributions (tiny terms absent from the rows):
-        # the dedup-summed value sits at each run start, which is exactly
-        # where top-C candidate positions point
-        total = total + jnp.take_along_axis(summed_exact, pos, axis=1)
+        # by the ordering contract the run's unique negative entry sits at
+        # the run start — exactly where top-C candidate positions point
+        total = total + jnp.take_along_axis(
+            jnp.maximum(-enc, 0.0), pos, axis=1)
 
     if n_real_docs is not None:
         cand_valid = cand_valid & (cand_ids < n_real_docs)

@@ -214,7 +214,7 @@ class RetrievalEngine:
         df_cap: Optional[int] = None,
         n_candidates: int = 512,
         compact_rows: bool = True,
-        tiny_df_cap: int = 128,
+        tiny_df_cap: int = 64,
     ):
         self.text_index = text_index
         self.title_index = title_index
@@ -251,6 +251,11 @@ class RetrievalEngine:
         self.compact_rows = compact_rows and mode == "pruned"
         self.tiny_cap = (min(tiny_df_cap, self.per_term_cap, self.df_cap)
                          if self.compact_rows else 0)
+        # tiny-block upload packing: one int32 per (doc, exact-sum) entry,
+        # (log_code << docbits) | doc, when enough code bits remain. The
+        # remote tunnel moves ~70 MB/s, so halving the block halves the
+        # dominant upload. Scale set in _upload (needs the CSR stats).
+        self._tiny_pack: Optional[Tuple[int, float, float]] = None
         self._device_fields: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
         self._device_rows: Dict[str, Tuple[jnp.ndarray, ...]] = {}
         # per field: (term_bits, lo, step, r2) of the ragged pass-2 rows
@@ -277,6 +282,19 @@ class RetrievalEngine:
         n_padded = ((n_padded + pad_to - 1) // pad_to) * pad_to
         self._shard_size = n_padded // self.n_shards
         self.n_padded = n_padded
+        if self.compact_rows:
+            # scale for the 1-int32 tiny-block packing: 16x headroom over
+            # the largest single impact covers any realistic per-doc sum
+            # of tiny-term contributions (clipped otherwise)
+            _, _, p_imp, df = self.text_index.csr
+            docbits = max(int(np.ceil(np.log2(max(n_padded, 2)))), 1)
+            codebits = 32 - docbits
+            pos = p_imp[p_imp > 0]
+            if codebits >= 9 and len(pos):
+                lo = float(np.log(pos.min()))
+                hi = float(np.log(pos.max() * 16.0))
+                step = max((hi - lo) / ((1 << codebits) - 2), 1e-9)
+                self._tiny_pack = (docbits, lo, step)
 
         for name, idx in fields.items():
             dt = _pad_rows(idx.doc_terms, 1, -1)
@@ -630,7 +648,22 @@ class RetrievalEngine:
                                constant_values=-1)
                 t_ex = np.pad(t_ex, ((0, 0), (0, pad)))
                 t_cols = bucket
-            segs += [t_doc, (-t_ex).view(np.int32)]
+            if t_cols and self._tiny_pack is not None:
+                # ONE int32 per entry: (log_code << docbits) | doc;
+                # pads encode as code 0 + all-ones doc (beyond n_real)
+                docbits, lo, step = self._tiny_pack
+                levels = (1 << (32 - docbits)) - 2
+                code = np.zeros(t_ex.shape, np.uint32)
+                p = t_ex > 0
+                code[p] = np.clip(
+                    np.rint((np.log(t_ex[p]) - lo) / step),
+                    0, levels).astype(np.uint32) + 1
+                docmask = (1 << docbits) - 1
+                enc = (code << docbits) | np.where(
+                    t_doc >= 0, t_doc, docmask).astype(np.uint32)
+                segs.append(enc.view(np.int32))
+            elif t_cols:
+                segs += [t_doc, (-t_ex).view(np.int32)]
         segs += [np.ascontiguousarray(q_terms, np.int32),
                  np.ascontiguousarray(q_weights, np.float32).view(np.int32)]
         lqs = [q_terms.shape[1]]
@@ -691,6 +724,7 @@ class RetrievalEngine:
         mesh = self.mesh
         n_cand = self.n_candidates
         with_exact = self.compact_rows
+        tiny_pack = self._tiny_pack
         n_real = self.text_index.n_docs
         csr_lo, csr_step = self._csr_scale
         use_pal = self.use_pallas
@@ -716,7 +750,17 @@ class RetrievalEngine:
                      for i in range(n_rare_blocks)]
             pos = M * n_rare_blocks
             tiny = None
-            if t_cols:
+            if t_cols and tiny_pack is not None:
+                docbits, t_lo, t_step = tiny_pack
+                enc = packed[:, pos: pos + t_cols]
+                d = enc & ((1 << docbits) - 1)
+                code = jax.lax.shift_right_logical(
+                    enc, docbits).astype(jnp.float32)
+                ex = jnp.where(
+                    code > 0, jnp.exp(t_lo + (code - 1.0) * t_step), 0.0)
+                tiny = (jnp.where(ex > 0, d, -1), -ex)
+                pos += t_cols
+            elif t_cols:
                 t_doc = packed[:, pos: pos + t_cols]
                 t_ex = jax.lax.bitcast_convert_type(
                     packed[:, pos + t_cols: pos + 2 * t_cols], jnp.float32)
@@ -741,13 +785,14 @@ class RetrievalEngine:
                 cds.append(cd)
                 cis.append(ci)
             if tiny is not None:
-                # the tiny block joins the candidate pool: |sum| ranks
+                # the tiny block joins the candidate pool FIRST (the
+                # kernel's exact_by_sign ordering contract): |sum| ranks
                 # (f32-exact), the negative sign tells the kernel to ADD
                 # the sums to pass-2 totals (those terms have no pass-2
                 # row slots)
                 t_doc, t_ex = tiny
-                cds.append(t_doc)
-                cis.append(t_ex)
+                cds.insert(0, t_doc)
+                cis.insert(0, t_ex)
             return bm25_pruned_topk(
                 jnp.concatenate(cds, axis=1),
                 jnp.concatenate(cis, axis=1),
