@@ -305,9 +305,10 @@ def _build_ace(config):
     from .data.encode import (add_classic_features, build_char_vocab,
                               build_word_vocab, encode_batch)
     from .models import TaggerConfig
-    from .models.embedders import (CharBiLSTMEmbedder, EmbedderSpec,
-                                   FlairLMEmbedder, TransformerWordEmbedder,
-                                   WordEmbedder)
+    from .models.embedders import (BPEmbEmbedder, BPEVocab,
+                                   CharBiLSTMEmbedder, ELMoEmbedder,
+                                   EmbedderSpec, FlairLMEmbedder,
+                                   TransformerWordEmbedder, WordEmbedder)
     from .models.tagger import init_stacked_tagger
     from .train import FinetuneTrainer
 
@@ -323,6 +324,7 @@ def _build_ace(config):
         {"type": "char_bilstm", "char_dim": 16, "hidden": 16},
     ]
     specs = []
+    bpe_vocab = None
     for i, e in enumerate(emb_specs):
         kind = e.get("type", "word")
         if kind == "word":
@@ -344,6 +346,26 @@ def _build_ace(config):
                     char_vocab_size=len(char_vocab),
                     embed_dim=e.get("embed_dim", 16), hidden=hidden),
                 2 * hidden))
+        elif kind == "elmo":
+            mod = ELMoEmbedder(
+                char_vocab_size=len(char_vocab),
+                char_dim=e.get("char_dim", 16),
+                proj_dim=e.get("proj_dim", 16),
+                num_layers=e.get("num_layers", 2),
+                mode=e.get("mode", "all"))
+            specs.append(EmbedderSpec(f"elmo{i}", mod, mod.out_dim))
+        elif kind == "bpemb":
+            if bpe_vocab is None:
+                path = e.get("vectors")
+                bpe_vocab = (BPEVocab.from_w2v_text(path) if path
+                             else BPEVocab.build(corpus.train,
+                                                 dim=e.get("dim", 25)))
+            specs.append(EmbedderSpec(
+                f"bpemb{i}", BPEmbEmbedder(
+                    piece_vocab_size=len(bpe_vocab.pieces),
+                    dim=bpe_vocab.dim,
+                    trainable=e.get("trainable", True)),
+                2 * bpe_vocab.dim))
         elif kind == "transformer":
             specs.append(EmbedderSpec(
                 f"xlmr{i}", TransformerWordEmbedder(
@@ -359,7 +381,7 @@ def _build_ace(config):
         word_dropout=config.model.get("word_dropout", 0.05))
     sample = corpus.train[:2]
     eb = encode_batch(sample, tokenizer, tag_dict, tag_layer=config.tag_layer)
-    add_classic_features(eb, word_vocab, char_vocab)
+    add_classic_features(eb, word_vocab, char_vocab, bpe_vocab=bpe_vocab)
     arrays = {k: jnp.asarray(v) for k, v in eb.arrays().items()}
     model, params = init_stacked_tagger(
         tagger_cfg, specs, jax.random.PRNGKey(0), arrays)
@@ -368,6 +390,7 @@ def _build_ace(config):
         tag_layer=config.tag_layer)
     trainer.word_vocab = word_vocab
     trainer.char_vocab = char_vocab
+    trainer.bpe_vocab = bpe_vocab
     return corpus, trainer, specs
 
 

@@ -306,6 +306,7 @@ def add_classic_features(
     char_vocab=None,
     max_chars_per_word: int = 16,
     max_stream_chars: int = 1024,
+    bpe_vocab=None,
 ) -> EncodedBatch:
     """Attach word-id / char-id / char-stream arrays for the classic
     embedder families (word vectors, char-BiLSTM, Flair char-LM).
@@ -369,4 +370,9 @@ def add_classic_features(
         eb.extra["char_stream_mask"] = char_stream_mask
         eb.extra["word_char_starts"] = word_char_starts
         eb.extra["word_char_ends"] = word_char_ends
+
+    if bpe_vocab is not None:
+        first, last = bpe_vocab.encode_first_last(eb)
+        eb.extra["bpe_first_ids"] = first
+        eb.extra["bpe_last_ids"] = last
     return eb

@@ -7,9 +7,12 @@ from .tagger import (
     init_tagger,
 )
 from .embedders import (
+    BPEmbEmbedder,
+    BPEVocab,
     CharBiLSTMEmbedder,
     CharLM,
     CharLMHead,
+    ELMoEmbedder,
     EmbedderSpec,
     FlairLMEmbedder,
     StackedEmbedder,
@@ -34,4 +37,7 @@ __all__ = [
     "StackedEmbedder",
     "TransformerWordEmbedder",
     "EmbedderSpec",
+    "ELMoEmbedder",
+    "BPEmbEmbedder",
+    "BPEVocab",
 ]

@@ -61,18 +61,29 @@ class WordEmbedder(nn.Module):
                 pass  # word2vec header line
             else:
                 f.seek(0)
+            unk_vec = None
             for line in f:
                 parts = line.rstrip().split(" ")
                 if len(parts) < 3:
                     continue
                 word = parts[0]
                 vec = np.asarray(parts[1:], dtype=np.float32)
-                vocab[word] = len(vocab)
+                if word in vocab:
+                    # a '<unk>' row in the file lands in reserved row 0;
+                    # other duplicates are dropped (first wins) so vocab
+                    # indices never desync from matrix rows
+                    if word == "<unk>":
+                        unk_vec = vec
+                    continue
+                vocab[word] = len(rows) + 1
                 rows.append(vec)
                 if vocab_limit and len(vocab) > vocab_limit:
                     break
-        dim = len(rows[0]) if rows else 0
-        matrix = np.vstack([np.zeros((1, dim), np.float32)] + rows)
+        dim = len(rows[0]) if rows else (
+            len(unk_vec) if unk_vec is not None else 0)
+        row0 = (unk_vec if unk_vec is not None
+                else np.zeros(dim, np.float32)).reshape(1, dim)
+        matrix = np.vstack([row0] + rows) if rows else row0
         return vocab, matrix
 
 
@@ -191,6 +202,227 @@ class FlairLMEmbedder(nn.Module):
             h_b, starts[:, :, None].repeat(self.hidden, -1), axis=1,
             mode="clip")
         return jnp.concatenate([f, b], axis=-1)
+
+
+class ELMoEmbedder(nn.Module):
+    """ELMo-architecture contextual embeddings (char-CNN token encoder +
+    2-layer word-level bi-LSTM LM), covering the reference's
+    ``ELMoEmbeddings`` (embeddings.py:677-772, which wraps allennlp).
+
+    TPU-native re-design rather than a wrapper: the char CNN runs as one
+    batched conv over ``[B*W, C]`` char ids, the bi-LM as masked
+    ``nn.RNN`` scans over the word axis, and layer combination follows
+    the reference's modes — ``"all"`` concatenates [token, layer1,
+    layer2] (the flair default), ``"top"`` takes the last LSTM layer,
+    ``"average"`` averages the layers, ``"mix"`` learns a
+    :class:`ScalarMix`. Weights come from :meth:`load_npz` (local file;
+    zero-egress environment) or random init for from-scratch training.
+
+    Output dim: ``2 * proj_dim`` per layer; ``"all"`` yields
+    ``2 * proj_dim * (num_layers + 1)``.
+    """
+
+    char_vocab_size: int
+    char_dim: int = 16
+    filters: Tuple[Tuple[int, int], ...] = ((1, 32), (2, 32), (3, 64))
+    n_highway: int = 2
+    proj_dim: int = 64
+    num_layers: int = 2
+    mode: str = "all"  # all | top | average | mix
+
+    @property
+    def out_dim(self) -> int:
+        per_layer = 2 * self.proj_dim
+        return per_layer * (self.num_layers + 1) if self.mode == "all" \
+            else per_layer
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        char_ids = batch["char_ids"]  # [B, W, C]
+        char_mask = batch["char_mask"].astype(bool)  # [B, W, C]
+        word_mask = batch["word_mask"]  # [B, W]
+        B, W, C = char_ids.shape
+
+        # -- char-CNN token encoder (one batched pass over B*W words)
+        x = nn.Embed(self.char_vocab_size, self.char_dim, name="chars")(
+            char_ids.reshape(B * W, C))  # [BW, C, E]
+        m = char_mask.reshape(B * W, C)
+        pooled = []
+        for width, channels in self.filters:
+            h = nn.Conv(channels, kernel_size=(width,), padding="SAME",
+                        name=f"conv{width}")(x)  # [BW, C, ch]
+            h = jnp.where(m[:, :, None], jnp.tanh(h), -jnp.inf)
+            pooled.append(jnp.max(h, axis=1))  # [BW, ch]
+        tok = jnp.concatenate(pooled, axis=-1)
+        tok = jnp.where(m.any(-1)[:, None], tok, 0.0)  # all-pad words
+        for i in range(self.n_highway):
+            t = nn.sigmoid(nn.Dense(tok.shape[-1], name=f"hw_t{i}")(tok))
+            h = nn.relu(nn.Dense(tok.shape[-1], name=f"hw_h{i}")(tok))
+            tok = t * h + (1.0 - t) * tok
+        tok = nn.Dense(self.proj_dim, name="proj")(tok)
+        tok = tok.reshape(B, W, self.proj_dim)
+
+        # -- word-level bi-LM over the sentence
+        lengths = word_mask.sum(-1)
+        layers = [jnp.concatenate([tok, tok], axis=-1)]  # layer 0
+        h = tok
+        for i in range(self.num_layers):
+            fwd = nn.RNN(nn.OptimizedLSTMCell(self.proj_dim),
+                         name=f"fwd{i}")(h, seq_lengths=lengths)
+            bwd = nn.RNN(nn.OptimizedLSTMCell(self.proj_dim), reverse=True,
+                         keep_order=True, name=f"bwd{i}")(
+                h, seq_lengths=lengths)
+            layers.append(jnp.concatenate([fwd, bwd], axis=-1))
+            h = fwd + bwd  # next layer's input (residual-free, proj width)
+
+        if self.mode == "all":
+            out = jnp.concatenate(layers, axis=-1)
+        elif self.mode == "top":
+            out = layers[-1]
+        elif self.mode == "average":
+            out = sum(layers) / len(layers)
+        elif self.mode == "mix":
+            out = ScalarMix(len(layers), name="mix")(jnp.stack(layers))
+        else:
+            raise ValueError(f"unknown ELMo mode {self.mode!r}")
+        return out * word_mask[:, :, None].astype(out.dtype)
+
+    @staticmethod
+    def save_npz(path, params) -> None:
+        """Flatten the param tree to a local npz (the zero-egress-era
+        checkpoint format for pretrained ELMo weights)."""
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        arrays = {jax.tree_util.keystr(k).strip("'[]").replace(
+            "']['", "/"): np.asarray(v) for k, v in flat}
+        np.savez(path, **arrays)
+
+    @staticmethod
+    def load_npz(path, like_params):
+        """Rebuild a param tree shaped like ``like_params`` from npz."""
+        data = np.load(path)
+
+        def _walk(tree, prefix):
+            if isinstance(tree, dict):
+                return {k: _walk(v, prefix + [k]) for k, v in tree.items()}
+            key = "/".join(prefix)
+            arr = data[key]
+            if arr.shape != tuple(tree.shape):
+                raise ValueError(
+                    f"shape mismatch for {key}: {arr.shape} vs {tree.shape}")
+            return jnp.asarray(arr)
+
+        import flax
+        plain = flax.core.unfreeze(like_params) if hasattr(
+            flax.core, "unfreeze") else dict(like_params)
+        return _walk(plain, [])
+
+
+class BPEVocab:
+    """Subword piece vocabulary + vectors for :class:`BPEmbEmbedder`.
+
+    Stand-in for the BPEmb package's SentencePiece models (reference
+    ``BytePairEmbeddings``, embeddings.py:775-820): pieces use the
+    SentencePiece convention (``▁`` marks a word start, text lowercased)
+    and words are segmented by greedy longest-match over the piece
+    inventory — the exact decoding a unigram/BPE model converges to for
+    in-vocabulary text. Load real (locally downloaded) bpemb w2v files
+    via :meth:`from_w2v_text`, or build a corpus-derived inventory with
+    :meth:`build` for from-scratch training.
+    """
+
+    def __init__(self, pieces: Dict[str, int], matrix: np.ndarray):
+        if "<unk>" not in pieces:
+            raise ValueError("piece inventory must reserve '<unk>'")
+        self.pieces = pieces
+        self.matrix = matrix
+        self._max_len = max((len(p) for p in pieces), default=1)
+
+    @property
+    def dim(self) -> int:
+        return self.matrix.shape[1]
+
+    @classmethod
+    def from_w2v_text(cls, path) -> "BPEVocab":
+        vocab, matrix = WordEmbedder.load_pretrained_text(path)
+        return cls(vocab, matrix)
+
+    @classmethod
+    def build(cls, records, dim: int = 25, max_words: int = 2000,
+              seed: int = 0) -> "BPEVocab":
+        """Corpus-derived inventory: every char (worded ``▁c`` and
+        continuation ``c`` forms) plus the ``max_words`` most frequent
+        whole words, random vectors (trainable downstream)."""
+        from collections import Counter
+        counts: Counter = Counter()
+        chars = set()
+        for rec in records:
+            for tok in rec.tokens:
+                low = tok.lower()
+                counts[low] += 1
+                chars.update(low)
+        pieces = {"<unk>": 0}
+        for ch in sorted(chars):
+            for form in (f"▁{ch}", ch):
+                pieces.setdefault(form, len(pieces))
+        for word, _ in counts.most_common(max_words):
+            pieces.setdefault(f"▁{word}", len(pieces))
+        rng = np.random.default_rng(seed)
+        matrix = rng.normal(0, 0.1, (len(pieces), dim)).astype(np.float32)
+        matrix[0] = 0.0
+        return cls(pieces, matrix)
+
+    def segment(self, word: str) -> List[int]:
+        """Greedy longest-match piece ids for one word (never empty)."""
+        text = "▁" + word.lower()
+        out: List[int] = []
+        i = 0
+        while i < len(text):
+            for ln in range(min(self._max_len, len(text) - i), 0, -1):
+                idx = self.pieces.get(text[i:i + ln])
+                if idx is not None:
+                    out.append(idx)
+                    i += ln
+                    break
+            else:
+                out.append(0)  # <unk>
+                i += 1
+        return out
+
+    def encode_first_last(self, eb) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-word (first piece id, last piece id) arrays [B, W] — the
+        reference embeds each word and concatenates the first and last
+        subword vectors."""
+        B, W = eb.word_mask.shape
+        first = np.zeros((B, W), dtype=np.int32)
+        last = np.zeros((B, W), dtype=np.int32)
+        for b, rec in enumerate(eb.records):
+            for w, tok in enumerate(rec.tokens[:W]):
+                ids = self.segment(tok)
+                first[b, w] = ids[0]
+                last[b, w] = ids[-1]
+        return first, last
+
+
+class BPEmbEmbedder(nn.Module):
+    """Byte-pair subword embeddings: concat of the word's first and last
+    piece vectors (reference ``BytePairEmbeddings`` semantics). Output
+    dim = ``2 * dim``. Expects ``bpe_first_ids``/``bpe_last_ids`` in the
+    batch (``data/encode.py::add_classic_features`` with a ``bpe_vocab``,
+    or :meth:`BPEVocab.encode_first_last`)."""
+
+    piece_vocab_size: int
+    dim: int = 25
+    trainable: bool = True
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        table = nn.Embed(self.piece_vocab_size, self.dim, name="table")
+        out = jnp.concatenate(
+            [table(batch["bpe_first_ids"]), table(batch["bpe_last_ids"])],
+            axis=-1)
+        if not self.trainable:
+            out = jax.lax.stop_gradient(out)
+        return out
 
 
 @dataclasses.dataclass(frozen=True)

@@ -122,6 +122,7 @@ class FinetuneTrainer:
         # extra feature vocabularies for classic embedders (word/char ids)
         self.word_vocab = None
         self.char_vocab = None
+        self.bpe_vocab = None
 
     # -- jitted steps ---------------------------------------------------------
 
@@ -396,11 +397,14 @@ class FinetuneTrainer:
         return len(records) / max(time.time() - t0, 1e-9)
 
     def _to_device(self, eb: EncodedBatch) -> Dict[str, jnp.ndarray]:
-        if (self.word_vocab is not None or self.char_vocab is not None) \
-                and "word_ids" not in eb.extra and "char_ids" not in eb.extra:
+        if (self.word_vocab is not None or self.char_vocab is not None
+                or self.bpe_vocab is not None) \
+                and "word_ids" not in eb.extra and "char_ids" not in eb.extra \
+                and "bpe_first_ids" not in eb.extra:
             from ..data.encode import add_classic_features
 
-            add_classic_features(eb, self.word_vocab, self.char_vocab)
+            add_classic_features(eb, self.word_vocab, self.char_vocab,
+                                 bpe_vocab=self.bpe_vocab)
         arrays = eb.arrays()
         if self.mesh is not None:
             arrays = pad_batch_for_mesh(arrays, self.mesh)
