@@ -638,6 +638,17 @@ def cmd_parse(args):
         logging.info("wrote %s", out)
 
 
+def cmd_ingest_dump(args):
+    """MediaWiki XML dump -> parse_text-schema JSONL (the reference's
+    dumps/convert_db.sh + parse_text.py stages, natively)."""
+    from .retrieval.dump import dump_to_jsonl
+
+    n = dump_to_jsonl(args.dump, args.out, lang=args.lang,
+                      paragraph_mode=args.paragraph,
+                      max_pages=args.max_pages)
+    logging.info("wrote %d records to %s", n, args.out)
+
+
 def cmd_retrieve(args):
     """Build/load a KB and produce a context-augmented dataset."""
     from .data.conll import read_column_file, write_column_file
@@ -932,6 +943,15 @@ def main(argv=None):
                     help="stage configs in order; each stage's tuned "
                          "encoder initializes the next")
     sp.set_defaults(fn=cmd_multistage)
+
+    sp = sub.add_parser("ingest-dump")
+    sp.add_argument("--dump", required=True,
+                    help="MediaWiki pages-articles.xml[.bz2] export")
+    sp.add_argument("--out", required=True, help="output JSONL path")
+    sp.add_argument("--lang", default="en")
+    sp.add_argument("--paragraph", default="all", choices=["all", "first"])
+    sp.add_argument("--max_pages", type=int, default=None)
+    sp.set_defaults(fn=cmd_ingest_dump)
 
     sp = sub.add_parser("retrieve")
     sp.add_argument("--kb", required=True, help="parsed-wiki JSONL")

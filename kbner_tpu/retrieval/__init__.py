@@ -1,8 +1,12 @@
 from .analyzer import cjk_analyze, get_analyzer, standard_analyze
 from .index import BM25Index, BM25Params, quantize_doc_length
 from .engine import DocStore, RetrievalEngine, RetrievedDoc, mix_search
+from .dump import dump_to_jsonl, iter_dump_pages, wikitext_to_paragraphs
 
 __all__ = [
+    "dump_to_jsonl",
+    "iter_dump_pages",
+    "wikitext_to_paragraphs",
     "standard_analyze",
     "cjk_analyze",
     "get_analyzer",
