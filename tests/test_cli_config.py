@@ -54,6 +54,19 @@ def test_named_corpus_registry(tmp_path):
     with pytest.raises(KeyError):
         corpus_spec("NO_SUCH_CORPUS", "/data")
 
+    # widened zoo (datasets.py:1440-4694): NER variants, chunking, POS,
+    # aspect, WikiNER, the UD treebank family, classification corpora
+    assert len(CORPUS_REGISTRY) >= 80
+    assert corpus_spec("CONLL_2000", "/d").tag_to_bioes == "chunk"
+    assert corpus_spec("GERMEVAL", "/d").column_format == {
+        1: "text", 2: "ner"}
+    assert corpus_spec("WIKINER_FRENCH", "/d").train_file == \
+        "aij-wikiner-fr-wp3.train"
+    assert corpus_spec("TWITTER", "/d").tag_to_bioes is None  # plain POS
+    assert corpus_spec("UD_FINNISH", "/d").format == "conllu"
+    imdb = corpus_spec("IMDB", "/d")
+    assert imdb.format == "fasttext" and imdb.tag_to_bioes is None
+
     # a named block loads the toy fixture end to end via overrides
     cfg = ExperimentConfig.from_dict({
         "name": "reg",
