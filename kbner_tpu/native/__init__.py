@@ -86,8 +86,139 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float),
     ]
     lib.tiny_exact.restype = ctypes.c_int64
+    _i64p = ctypes.POINTER(ctypes.c_int64)
+    _i32p = ctypes.POINTER(ctypes.c_int32)
+    _f32p = ctypes.POINTER(ctypes.c_float)
+    try:  # symbols added after the first .so release; stale lib = no-op
+        lib.build_csr.argtypes = [
+            _i32p, _f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            _i64p, _i64p, _i32p, _f32p]
+        lib.build_csr.restype = None
+        lib.compact_tiny.argtypes = [
+            _i32p, _f32p, _i64p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, _i32p, _f32p, _i32p]
+        lib.compact_tiny.restype = None
+        lib.csr_cap.argtypes = [
+            _i64p, _i32p, _f32p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, _i64p, _i32p, _f32p]
+        lib.csr_cap.restype = None
+        lib.pack_ragged.argtypes = [
+            _i32p, _f32p, _i64p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int64, _i32p]
+        lib.pack_ragged.restype = None
+    except AttributeError:
+        pass
     _LIB = lib
     return lib
+
+
+def _ptr(a, ct):
+    return a.ctypes.data_as(ctypes.POINTER(ct))
+
+
+def build_csr(doc_terms: np.ndarray, doc_impacts: np.ndarray,
+              vocab_size: int):
+    """Native impact-ordered CSR build (postings.cc::build_csr): returns
+    (offsets int64 [V+1], doc ids int32 [NNZ], impacts f32 [NNZ],
+    df int64 [V]) matching ``np.lexsort((-imps, terms))`` ordering, or
+    None when the library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "build_csr"):
+        return None
+    dt = np.ascontiguousarray(doc_terms, np.int32)
+    di = np.ascontiguousarray(doc_impacts, np.float32)
+    N, Ld = dt.shape
+    V = int(vocab_size)
+    nnz = int((dt >= 0).sum())
+    offsets = np.zeros(V + 1, np.int64)
+    df = np.zeros(V, np.int64)
+    out_doc = np.empty(nnz, np.int32)
+    out_imp = np.empty(nnz, np.float32)
+    lib.build_csr(_ptr(dt, ctypes.c_int32), _ptr(di, ctypes.c_float),
+                  N, Ld, V, _ptr(offsets, ctypes.c_int64),
+                  _ptr(df, ctypes.c_int64), _ptr(out_doc, ctypes.c_int32),
+                  _ptr(out_imp, ctypes.c_float))
+    return offsets, out_doc, out_imp, df
+
+
+def compact_tiny(doc_terms: np.ndarray, doc_impacts: np.ndarray,
+                 df: np.ndarray, tiny_cap: int):
+    """Native tiny-slot compaction (postings.cc::compact_tiny): returns
+    (dt2 [N, Ld2] pad -1, di2 [N, Ld2]) with df<=tiny_cap slots removed,
+    or None when the library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "compact_tiny"):
+        return None
+    dt = np.ascontiguousarray(doc_terms, np.int32)
+    di = np.ascontiguousarray(doc_impacts, np.float32)
+    dfc = np.ascontiguousarray(df, np.int64)
+    N, Ld = dt.shape
+    lens = np.empty(N, np.int32)
+    none32 = np.empty(0, np.int32)
+    nonef = np.empty(0, np.float32)
+    lib.compact_tiny(_ptr(dt, ctypes.c_int32), _ptr(di, ctypes.c_float),
+                     _ptr(dfc, ctypes.c_int64), tiny_cap, N, Ld, 0,
+                     _ptr(none32, ctypes.c_int32),
+                     _ptr(nonef, ctypes.c_float),
+                     _ptr(lens, ctypes.c_int32))
+    ld2 = max(int(lens.max(initial=0)), 1)
+    dt2 = np.full((N, ld2), -1, np.int32)
+    di2 = np.zeros((N, ld2), np.float32)
+    lib.compact_tiny(_ptr(dt, ctypes.c_int32), _ptr(di, ctypes.c_float),
+                     _ptr(dfc, ctypes.c_int64), tiny_cap, N, Ld, ld2,
+                     _ptr(dt2, ctypes.c_int32), _ptr(di2, ctypes.c_float),
+                     _ptr(lens, ctypes.c_int32))
+    return dt2, di2
+
+
+def pack_ragged(doc_terms: np.ndarray, doc_impacts: np.ndarray,
+                off: np.ndarray, term_bits: int, lo: float, step: float,
+                levels: int, flat: np.ndarray) -> bool:
+    """Native fused quantize+pack of the ragged pass-2 rows into ``flat``
+    (in place). Returns False when the library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "pack_ragged"):
+        return False
+    dt = np.ascontiguousarray(doc_terms, np.int32)
+    di = np.ascontiguousarray(doc_impacts, np.float32)
+    offc = np.ascontiguousarray(off, np.int64)
+    assert flat.dtype == np.int32 and flat.flags.c_contiguous
+    N, Ld = dt.shape
+    lib.pack_ragged(_ptr(dt, ctypes.c_int32), _ptr(di, ctypes.c_float),
+                    _ptr(offc, ctypes.c_int64), N, Ld, term_bits,
+                    float(lo), float(step), levels,
+                    _ptr(flat, ctypes.c_int32))
+    return True
+
+
+def csr_cap(offsets: np.ndarray, p_doc: np.ndarray, p_imp: np.ndarray,
+            df: np.ndarray, cap: int, min_df: int):
+    """Native capped/min_df-filtered CSR copy (postings.cc::csr_cap):
+    returns (offsets int64 [V+1], doc ids, impacts) or None."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "csr_cap"):
+        return None
+    off = np.ascontiguousarray(offsets, np.int64)
+    pd = np.ascontiguousarray(p_doc, np.int32)
+    pi = np.ascontiguousarray(p_imp, np.float32)
+    V = len(off) - 1
+    df_c = np.asarray(df, np.int64)
+    if cap > 0:
+        df_c = np.minimum(df_c, cap)
+    if min_df > 0:
+        df_c = np.where(np.asarray(df, np.int64) <= min_df, 0, df_c)
+    out_off = np.zeros(V + 1, np.int64)
+    np.cumsum(df_c, out=out_off[1:])
+    nnz = int(out_off[-1])
+    out_doc = np.empty(nnz, np.int32)
+    out_imp = np.empty(nnz, np.float32)
+    lib.csr_cap(_ptr(off, ctypes.c_int64), _ptr(pd, ctypes.c_int32),
+                _ptr(pi, ctypes.c_float), V, cap, min_df,
+                _ptr(out_off, ctypes.c_int64),
+                _ptr(out_doc, ctypes.c_int32),
+                _ptr(out_imp, ctypes.c_float))
+    return out_off, out_doc, out_imp
 
 
 # reusable dense accumulators for tiny_exact, keyed by n_docs

@@ -20,8 +20,11 @@
 // pass 2; MaxScore-style demotion). Each query's ranges are copied until the
 // P-slot budget is exhausted.
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 extern "C" {
 
@@ -127,6 +130,144 @@ int64_t tiny_exact(const int64_t* offsets,
     }
   }
   return max_docs;
+}
+
+// Impact-ordered CSR construction from the padded doc-major arrays —
+// the index-build analogue of Lucene's segment flush (inverted index
+// write, kb/build_kb.py's _bulk ingest endpoint). Replaces a NumPy
+// lexsort over all NNZ postings (the upload-path hotspot) with a
+// counting sort by term + per-term impact sort:
+//   pass 1: df counts; prefix-sum -> offsets
+//   pass 2: scatter (docs ascend within each term by construction)
+//   pass 3: per-term sort by (impact desc, doc asc) == the stable
+//           ordering contract of np.lexsort((-imps, terms))
+void build_csr(const int32_t* doc_terms, const float* doc_impacts,
+               int64_t N, int64_t Ld, int64_t V,
+               int64_t* offsets /* V+1, caller-zeroed */,
+               int64_t* df /* V, caller-zeroed */,
+               int32_t* out_doc, float* out_imp) {
+  const int64_t total = N * Ld;
+  for (int64_t i = 0; i < total; ++i) {
+    int32_t t = doc_terms[i];
+    if (t >= 0) df[t]++;
+  }
+  offsets[0] = 0;
+  for (int64_t v = 0; v < V; ++v) offsets[v + 1] = offsets[v] + df[v];
+  std::vector<int64_t> cursor(offsets, offsets + V);
+  for (int64_t d = 0; d < N; ++d) {
+    const int32_t* row_t = doc_terms + d * Ld;
+    const float* row_i = doc_impacts + d * Ld;
+    for (int64_t l = 0; l < Ld; ++l) {
+      int32_t t = row_t[l];
+      if (t < 0) continue;
+      int64_t c = cursor[t]++;
+      out_doc[c] = (int32_t)d;
+      out_imp[c] = row_i[l];
+    }
+  }
+  std::vector<std::pair<float, int32_t>> buf;
+  for (int64_t v = 0; v < V; ++v) {
+    int64_t lo = offsets[v], hi = offsets[v + 1];
+    if (hi - lo < 2) continue;
+    buf.resize(hi - lo);
+    for (int64_t p = lo; p < hi; ++p)
+      buf[p - lo] = {out_imp[p], out_doc[p]};
+    std::sort(buf.begin(), buf.end(),
+              [](const std::pair<float, int32_t>& a,
+                 const std::pair<float, int32_t>& b) {
+                if (a.first != b.first) return a.first > b.first;
+                return a.second < b.second;
+              });
+    for (int64_t p = lo; p < hi; ++p) {
+      out_imp[p] = buf[p - lo].first;
+      out_doc[p] = buf[p - lo].second;
+    }
+  }
+}
+
+// Left-compacted doc arrays with tiny-term slots (df <= tiny_cap)
+// removed — the compact-rows memory optimization's host pass. Two-phase:
+// Ld2 == 0 measures (out_len only), a second call fills the
+// caller-allocated [N, Ld2] buffers (out_dt prefilled -1, out_di zeroed).
+void compact_tiny(const int32_t* doc_terms, const float* doc_impacts,
+                  const int64_t* df, int64_t tiny_cap,
+                  int64_t N, int64_t Ld, int64_t Ld2,
+                  int32_t* out_dt, float* out_di, int32_t* out_len) {
+  for (int64_t d = 0; d < N; ++d) {
+    const int32_t* row_t = doc_terms + d * Ld;
+    const float* row_i = doc_impacts + d * Ld;
+    int32_t n = 0;
+    if (Ld2 == 0) {
+      for (int64_t l = 0; l < Ld; ++l) {
+        int32_t t = row_t[l];
+        if (t >= 0 && df[t] > tiny_cap) n++;
+      }
+    } else {
+      int32_t* o_t = out_dt + d * Ld2;
+      float* o_i = out_di + d * Ld2;
+      for (int64_t l = 0; l < Ld; ++l) {
+        int32_t t = row_t[l];
+        if (t >= 0 && df[t] > tiny_cap) {
+          o_t[n] = t;
+          o_i[n] = row_i[l];
+          n++;
+        }
+      }
+    }
+    out_len[d] = n;
+  }
+}
+
+// Ragged pass-2 row packing: per doc, one int32 per real (doc, term)
+// slot, (log_code << term_bits) | term_id, written left-packed at the
+// doc's precomputed segment offset (engine.py::_pack_doc_rows_ragged's
+// scatter, fused with the log quantization of the impacts).
+void pack_ragged(const int32_t* dt, const float* di, const int64_t* off,
+                 int64_t N, int64_t Ld, int64_t term_bits,
+                 double lo, double step, int64_t levels,
+                 int32_t* flat /* prefilled -1 */) {
+  const uint32_t mask =
+      term_bits >= 32 ? 0xFFFFFFFFu : ((1u << term_bits) - 1u);
+  for (int64_t d = 0; d < N; ++d) {
+    const int32_t* rt = dt + d * Ld;
+    const float* ri = di + d * Ld;
+    int64_t base = off[d];
+    int64_t j = 0;
+    for (int64_t l = 0; l < Ld; ++l) {
+      int32_t t = rt[l];
+      if (t < 0) continue;
+      float imp = ri[l];
+      uint32_t code = 0;
+      if (imp > 0.0f) {
+        double v = std::rint((std::log((double)imp) - lo) / step);
+        if (v < 0.0) v = 0.0;
+        if (v > (double)levels) v = (double)levels;
+        code = (uint32_t)v + 1u;
+      }
+      flat[base + j] = (int32_t)((code << term_bits) | ((uint32_t)t & mask));
+      ++j;
+    }
+  }
+}
+
+// Capped + min_df-filtered CSR copy: each term's `cap` highest-impact
+// postings (the pass-1 window prefix — the CSR is impact-ordered), terms
+// with df <= min_df dropped entirely (tiny terms the device never looks
+// up). Caller computes the output offsets (cheap df arithmetic) and
+// allocates; this just does the range memcpys.
+void csr_cap(const int64_t* offsets, const int32_t* p_doc,
+             const float* p_imp, int64_t V, int64_t cap, int64_t min_df,
+             const int64_t* out_off, int32_t* out_doc, float* out_imp) {
+  for (int64_t v = 0; v < V; ++v) {
+    int64_t n = out_off[v + 1] - out_off[v];
+    if (n <= 0) continue;
+    std::memcpy(out_doc + out_off[v], p_doc + offsets[v],
+                n * sizeof(int32_t));
+    std::memcpy(out_imp + out_off[v], p_imp + offsets[v],
+                n * sizeof(float));
+  }
+  (void)cap;
+  (void)min_df;
 }
 
 }  // extern "C"

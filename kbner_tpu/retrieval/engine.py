@@ -98,8 +98,9 @@ def _quantize_codes(di: np.ndarray, bits: int,
     levels = (1 << bits) - 2
     codes = np.zeros(di.shape, np.uint16 if bits <= 16 else np.uint32)
     pos = di > 0
+    # f64 log to match the native fused pack (postings.cc::pack_ragged)
     codes[pos] = np.clip(
-        np.rint((np.log(di[pos]) - lo) / step), 0, levels
+        np.rint((np.log(di[pos].astype(np.float64)) - lo) / step), 0, levels
     ).astype(codes.dtype) + 1
     return codes, lo, step
 
@@ -137,7 +138,19 @@ def _pack_doc_rows_ragged(
         raise ValueError(
             f"vocab {vocab_size} leaves {code_bits} impact bits; "
             "shard the vocabulary or extend the two-array layout")
-    codes, lo, step = _quantize_codes(di, bits=code_bits, scale=scale)
+    levels = (1 << code_bits) - 2
+    if scale is not None:
+        lo, step = scale
+    else:
+        # log is monotone: the scale needs only the positive min/max,
+        # not a full-collection log pass
+        pos = di[di > 0]
+        if len(pos):
+            lo = float(np.log(float(pos.min())))
+            hi = float(np.log(float(pos.max())))
+            step = max((hi - lo) / max(levels, 1), 1e-12)
+        else:
+            lo, step = 0.0, 1.0
 
     valid = dt >= 0
     lens = valid.sum(axis=1).astype(np.int64)
@@ -165,11 +178,16 @@ def _pack_doc_rows_ragged(
         raise ValueError("ragged layout exceeds int32 offsets; shard more")
 
     flat = np.full(nr * lanes, -1, dtype=np.int32)
-    packed = ((codes.astype(np.uint32) << term_bits)
-              | (dt.astype(np.uint32) & ((1 << term_bits) - 1))
-              ).view(np.int32)
-    pos = off[:, None] + np.arange(Ld, dtype=np.int64)[None, :]
-    flat[pos[valid]] = packed[valid]
+    from ..native import pack_ragged as native_pack_ragged
+
+    if not native_pack_ragged(dt, di, off, term_bits, lo, step, levels,
+                              flat):
+        codes, _, _ = _quantize_codes(di, bits=code_bits, scale=(lo, step))
+        packed = ((codes.astype(np.uint32) << term_bits)
+                  | (dt.astype(np.uint32) & ((1 << term_bits) - 1))
+                  ).view(np.int32)
+        pos = off[:, None] + np.arange(Ld, dtype=np.int64)[None, :]
+        flat[pos[valid]] = packed[valid]
     lens_dtype = np.uint8 if Ld < 256 else np.int32
     return (flat.reshape(nr, lanes), off.astype(np.int32),
             lens.astype(lens_dtype), term_bits, lo, step, r2)
@@ -181,6 +199,11 @@ def _drop_tiny_slots(dt: np.ndarray, di: np.ndarray, df: np.ndarray,
     "tiny" terms (df <= tiny_cap) removed — those terms are scored
     exactly from their full pass-1 windows, so pass-2 rows need not
     carry them (compact-rows memory optimization)."""
+    from ..native import compact_tiny as native_compact_tiny
+
+    res = native_compact_tiny(dt, di, df, tiny_cap)
+    if res is not None:
+        return res
     keep = dt >= 0
     keep[keep] = df[dt[keep]] > tiny_cap
     new_len = keep.sum(axis=1)

@@ -176,6 +176,13 @@ class BM25Index:
         so capped pass-1 reads lose as little recall as possible
         (impact-ordered indexes, the MaxScore/JASS idea)."""
         if self._csr is None:
+            from ..native import build_csr as native_build_csr
+
+            res = native_build_csr(self.doc_terms, self.doc_impacts,
+                                   len(self.vocab))
+            if res is not None:
+                self._csr = res
+                return self._csr
             valid = self.doc_terms >= 0
             terms = self.doc_terms[valid]
             docs = np.nonzero(valid)[0].astype(np.int32)
@@ -221,6 +228,11 @@ class BM25Index:
         V = len(self.vocab)
         if (cap <= 0 or (df <= cap).all()) and min_df <= 0:
             return offsets, p_doc, p_imp
+        from ..native import csr_cap as native_csr_cap
+
+        res = native_csr_cap(offsets, p_doc, p_imp, df, cap, min_df)
+        if res is not None:
+            return res
         # position of each posting within its term's range
         starts = offsets[:-1]
         pos = np.arange(len(p_doc), dtype=np.int64) - np.repeat(starts, df)
