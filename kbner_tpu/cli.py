@@ -115,7 +115,9 @@ def _build_parser(config):
         multi = mc.get("multi_label", False)
         model = TextClassifier(TextClassifierConfig(
             encoder=enc_cfg, num_labels=max(len(label_dict), 2),
-            multi_label=multi, dropout=mc.get("dropout", 0.1)))
+            multi_label=multi, dropout=mc.get("dropout", 0.1),
+            pooling=mc.get("pooling", "cls"),
+            rnn_hidden=mc.get("rnn_hidden", 128)))
         attach = lambda eb: encode_labels(eb.records, label_dict, eb)
         make = lambda params: ClassificationTrainer(
             model, params, corpus, tokenizer, label_dict,

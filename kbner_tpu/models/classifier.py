@@ -27,6 +27,29 @@ class TextClassifierConfig:
     num_labels: int
     multi_label: bool = False
     dropout: float = 0.1
+    # "cls" | "mean" | "max" | "min" | "min_max_mean" | "rnn" — the
+    # reference's DocumentPoolEmbeddings pooling modes (mean/min/max,
+    # embeddings.py:4198-4460) and DocumentRNNEmbeddings (:4462-4731)
+    # re-homed over the encoder's token states
+    pooling: str = "cls"
+    rnn_hidden: int = 128
+
+
+def _pool_tokens(hidden: jnp.ndarray, mask: jnp.ndarray,
+                 mode: str) -> jnp.ndarray:
+    """Masked pooling over the subtoken axis: [B, S, D] -> [B, D]."""
+    m = mask.astype(jnp.float32)[:, :, None]
+    if mode == "mean":
+        return (hidden * m).sum(1) / jnp.maximum(m.sum(1), 1.0)
+    if mode == "max":
+        return jnp.where(m > 0, hidden, -jnp.inf).max(1)
+    if mode == "min":
+        return jnp.where(m > 0, hidden, jnp.inf).min(1)
+    if mode == "min_max_mean":
+        return jnp.concatenate(
+            [_pool_tokens(hidden, mask, m_) for m_ in
+             ("min", "max", "mean")], axis=-1)
+    raise ValueError(f"unknown pooling {mode!r}")
 
 
 class TextClassifier(nn.Module):
@@ -37,13 +60,26 @@ class TextClassifier(nn.Module):
         self.encoder = XLMREncoder(cfg.encoder, name="encoder")
         self.head = nn.Dense(cfg.num_labels, dtype=jnp.float32, name="head")
         self.drop = nn.Dropout(cfg.dropout)
+        if cfg.pooling == "rnn":
+            self.doc_rnn = nn.RNN(nn.GRUCell(cfg.rnn_hidden),
+                                  name="doc_rnn")
 
     def document_embedding(self, batch: Dict[str, jnp.ndarray],
                            deterministic: bool = True) -> jnp.ndarray:
         hidden, _ = self.encoder(
             batch["input_ids"], batch["attention_mask"],
             deterministic=deterministic)
-        return hidden[:, 0].astype(jnp.float32)  # CLS pooling
+        hidden = hidden.astype(jnp.float32)
+        mode = self.config.pooling
+        if mode == "cls":
+            return hidden[:, 0]
+        if mode == "rnn":
+            lengths = batch["attention_mask"].sum(-1)
+            out = self.doc_rnn(hidden, seq_lengths=lengths)
+            last = jnp.maximum(lengths - 1, 0)
+            return jnp.take_along_axis(
+                out, last[:, None, None], axis=1)[:, 0]
+        return _pool_tokens(hidden, batch["attention_mask"], mode)
 
     def logits(self, batch: Dict[str, jnp.ndarray],
                deterministic: bool = True) -> jnp.ndarray:

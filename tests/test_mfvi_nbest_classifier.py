@@ -241,3 +241,43 @@ def test_text_regressor_runs():
                         method=model.loss)
     loss = model.apply(params, arrays, deterministic=True, method=model.loss)
     assert np.isfinite(float(loss))
+
+
+@pytest.mark.parametrize("pooling,mult", [
+    ("mean", 1), ("max", 1), ("min", 1), ("min_max_mean", 3), ("rnn", 0)])
+def test_document_pooling_modes(pooling, mult):
+    """DocumentPoolEmbeddings / DocumentRNNEmbeddings modes over the
+    encoder token states (reference embeddings.py:4198-4731): correct
+    widths, mask-independence of padding, and trainability."""
+    recs = [
+        SentenceRecord(tokens=["great", "fantastic", "movie"],
+                       labels=["pos"]),
+        SentenceRecord(tokens=["bad"], labels=["neg"]),
+    ]
+    label_dict = build_label_dictionary(recs)
+    eb = encode_batch(recs, TOK, None)
+    encode_labels(recs, label_dict, eb)
+    arrays = {k: jnp.asarray(v) for k, v in eb.arrays().items()}
+
+    enc = XLMRConfig.tiny(vocab_size=1000)
+    cfg = TextClassifierConfig(encoder=enc, num_labels=2, pooling=pooling,
+                               rnn_hidden=16)
+    model = TextClassifier(cfg)
+    params = model.init({"params": jax.random.PRNGKey(0)}, arrays,
+                        method=model.loss)
+    doc = model.apply(params, arrays, method=model.document_embedding)
+    want = 16 if pooling == "rnn" else enc.hidden_size * mult
+    assert doc.shape == (2, want)
+    assert np.isfinite(np.asarray(doc)).all()
+
+    # padding must not leak: growing the pad region leaves doc unchanged
+    wider = {k: (jnp.pad(v, ((0, 0), (0, 8))) if v.ndim == 2
+                 and v.shape[1] == arrays["input_ids"].shape[1] else v)
+             for k, v in arrays.items()}
+    doc2 = model.apply(params, wider, method=model.document_embedding)
+    np.testing.assert_allclose(np.asarray(doc), np.asarray(doc2),
+                               rtol=1e-5, atol=1e-5)
+
+    loss = model.apply(params, arrays, deterministic=True,
+                       method=model.loss)
+    assert np.isfinite(float(loss))
