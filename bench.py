@@ -125,10 +125,18 @@ def bench_train_step(on_tpu: bool) -> dict:
     for _ in range(2):  # compile + device warmup
         params, opt_state, loss = step(params, opt_state, batch, key)
         float(loss)  # host pull: sync through the remote tunnel
+    # lag-1 loss pull: every step's loss IS pulled inside the timed
+    # window, one step late — the device queue keeps a step in flight so
+    # the tunnel round trip overlaps compute (the trainer defers its
+    # pulls the same way, trainer.py)
     t0 = time.perf_counter()
+    prev = None
     for _ in range(n_steps):
         params, opt_state, loss = step(params, opt_state, batch, key)
-        float(loss)
+        if prev is not None:
+            float(prev)
+        prev = loss
+    float(prev)
     dt = (time.perf_counter() - t0) / n_steps
 
     extra = {}
@@ -155,9 +163,13 @@ def bench_train_step(on_tpu: bool) -> dict:
         params, opt_state, loss = step(params, opt_state, b64, key)
         float(loss)
         t0 = time.perf_counter()
+        prev64 = None
         for _ in range(5):
             params, opt_state, loss = step(params, opt_state, b64, key)
-            float(loss)
+            if prev64 is not None:
+                float(prev64)
+            prev64 = loss
+        float(prev64)
         dt64 = (time.perf_counter() - t0) / 5
         n_params = sum(int(np.prod(p.shape))
                        for p in jax.tree_util.tree_leaves(params))

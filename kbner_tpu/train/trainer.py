@@ -305,7 +305,10 @@ class FinetuneTrainer:
                     rng, step_rng = jax.random.split(rng)
                     self.params, opt_state, loss = train_step(
                         self.params, opt_state, arrays, step_rng, freeze)
-                    losses.append(float(loss))
+                    # keep the loss on device: a per-step host pull
+                    # serializes dispatch with the device (and with the
+                    # remote tunnel's round trip); one sync per epoch
+                    losses.append(loss)
                     if (profiling and i + 1 ==
                             config.profile_start + config.profile_steps):
                         jax.profiler.stop_trace()
@@ -314,7 +317,9 @@ class FinetuneTrainer:
                                  base_path / "profile")
                 if profiling:  # epoch shorter than the profile window
                     jax.profiler.stop_trace()
-                train_loss = float(np.mean(losses)) if losses else 0.0
+                train_loss = float(np.mean(
+                    [float(l) for l in jax.device_get(losses)])) \
+                    if losses else 0.0
                 history["train_loss"].append(train_loss)
 
                 # dataset-level macro-avg dev score
