@@ -105,7 +105,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.pack_ragged.argtypes = [
             _i32p, _f32p, _i64p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_double, ctypes.c_double,
-            ctypes.c_int64, _i32p]
+            ctypes.c_int64, _f32p, _i32p]
         lib.pack_ragged.restype = None
     except AttributeError:
         pass
@@ -174,9 +174,11 @@ def compact_tiny(doc_terms: np.ndarray, doc_impacts: np.ndarray,
 
 def pack_ragged(doc_terms: np.ndarray, doc_impacts: np.ndarray,
                 off: np.ndarray, term_bits: int, lo: float, step: float,
-                levels: int, flat: np.ndarray) -> bool:
+                levels: int, flat: np.ndarray,
+                term_lo: Optional[np.ndarray] = None) -> bool:
     """Native fused quantize+pack of the ragged pass-2 rows into ``flat``
-    (in place). Returns False when the library is unavailable."""
+    (in place). ``term_lo`` ([V] f32) switches to per-term log bases.
+    Returns False when the library is unavailable."""
     lib = _load()
     if lib is None or not hasattr(lib, "pack_ragged"):
         return False
@@ -185,9 +187,14 @@ def pack_ragged(doc_terms: np.ndarray, doc_impacts: np.ndarray,
     offc = np.ascontiguousarray(off, np.int64)
     assert flat.dtype == np.int32 and flat.flags.c_contiguous
     N, Ld = dt.shape
+    if term_lo is not None:
+        term_lo = np.ascontiguousarray(term_lo, np.float32)
+        tl_ptr = _ptr(term_lo, ctypes.c_float)
+    else:
+        tl_ptr = ctypes.POINTER(ctypes.c_float)()
     lib.pack_ragged(_ptr(dt, ctypes.c_int32), _ptr(di, ctypes.c_float),
                     _ptr(offc, ctypes.c_int64), N, Ld, term_bits,
-                    float(lo), float(step), levels,
+                    float(lo), float(step), levels, tl_ptr,
                     _ptr(flat, ctypes.c_int32))
     return True
 

@@ -222,9 +222,15 @@ void compact_tiny(const int32_t* doc_terms, const float* doc_impacts,
 // slot, (log_code << term_bits) | term_id, written left-packed at the
 // doc's precomputed segment offset (engine.py::_pack_doc_rows_ragged's
 // scatter, fused with the log quantization of the impacts).
+// `term_lo` is the PER-TERM log base (nullptr = scalar `lo` for all
+// terms): codes store ln(imp) - lo[t], so the per-term base rides the
+// query weight at search time (w' = w * exp(lo[t])) and the global step
+// only has to span the widest single term's impact range (~4x finer
+// quantization than a collection-global scale at the same bit budget).
 void pack_ragged(const int32_t* dt, const float* di, const int64_t* off,
                  int64_t N, int64_t Ld, int64_t term_bits,
                  double lo, double step, int64_t levels,
+                 const float* term_lo,
                  int32_t* flat /* prefilled -1 */) {
   const uint32_t mask =
       term_bits >= 32 ? 0xFFFFFFFFu : ((1u << term_bits) - 1u);
@@ -239,7 +245,8 @@ void pack_ragged(const int32_t* dt, const float* di, const int64_t* off,
       float imp = ri[l];
       uint32_t code = 0;
       if (imp > 0.0f) {
-        double v = std::rint((std::log((double)imp) - lo) / step);
+        double base_lo = term_lo ? (double)term_lo[t] : lo;
+        double v = std::rint((std::log((double)imp) - base_lo) / step);
         if (v < 0.0) v = 0.0;
         if (v > (double)levels) v = (double)levels;
         code = (uint32_t)v + 1u;

@@ -139,7 +139,18 @@ def _pack_doc_rows_ragged(
             f"vocab {vocab_size} leaves {code_bits} impact bits; "
             "shard the vocabulary or extend the two-array layout")
     levels = (1 << code_bits) - 2
-    if scale is not None:
+    term_lo = None
+    if scale is not None and np.ndim(scale[0]) == 1:
+        # PER-TERM scale (engine production path): codes store
+        # ln(imp) - term_lo[t]; the base rides the query weight at search
+        # time (w' = w * exp(term_lo[t]), see _pack_queries), so the
+        # device decodes with lo=0 and the step only spans the widest
+        # single term's impact range — ~4x finer than a global scale at
+        # the same bit budget (a term's impacts vary only by tfNorm;
+        # idf, the wide factor, is constant per term)
+        term_lo, step = scale
+        lo = 0.0
+    elif scale is not None:
         lo, step = scale
     else:
         # log is monotone: the scale needs only the positive min/max,
@@ -181,8 +192,17 @@ def _pack_doc_rows_ragged(
     from ..native import pack_ragged as native_pack_ragged
 
     if not native_pack_ragged(dt, di, off, term_bits, lo, step, levels,
-                              flat):
-        codes, _, _ = _quantize_codes(di, bits=code_bits, scale=(lo, step))
+                              flat, term_lo=term_lo):
+        if term_lo is not None:
+            codes = np.zeros(di.shape, np.uint32)
+            p = (dt >= 0) & (di > 0)
+            base = term_lo[np.maximum(dt, 0)].astype(np.float64)
+            codes[p] = np.clip(
+                np.rint((np.log(di[p].astype(np.float64)) - base[p])
+                        / step), 0, levels).astype(np.uint32) + 1
+        else:
+            codes, _, _ = _quantize_codes(di, bits=code_bits,
+                                          scale=(lo, step))
         packed = ((codes.astype(np.uint32) << term_bits)
                   | (dt.astype(np.uint32) & ((1 << term_bits) - 1))
                   ).view(np.int32)
@@ -191,6 +211,29 @@ def _pack_doc_rows_ragged(
     lens_dtype = np.uint8 if Ld < 256 else np.int32
     return (flat.reshape(nr, lanes), off.astype(np.int32),
             lens.astype(lens_dtype), term_bits, lo, step, r2)
+
+
+def _term_scale_from_csr(index: BM25Index, code_bits: int
+                         ) -> Tuple[np.ndarray, float]:
+    """Per-term log bases + the global step for the per-term row
+    quantization: from the impact-ordered CSR, a term's max impact is its
+    first posting and its min its last — O(V), no full-collection pass."""
+    offsets, _, p_imp, df = index.csr
+    V = len(df)
+    term_lo = np.zeros(V, np.float32)
+    levels = (1 << code_bits) - 2
+    if len(p_imp) == 0:
+        return term_lo, 1.0
+    has = df > 0
+    mins = p_imp[np.maximum(offsets[1:] - 1, 0)]
+    maxs = p_imp[np.minimum(offsets[:-1], len(p_imp) - 1)]
+    lnmin = np.zeros(V)
+    lnmax = np.zeros(V)
+    np.log(mins, out=lnmin, where=has & (mins > 0))
+    np.log(maxs, out=lnmax, where=has & (maxs > 0))
+    term_lo[has] = lnmin[has].astype(np.float32)
+    rng = float((lnmax - lnmin).max(initial=0.0))
+    return term_lo, max(rng / max(levels, 1), 1e-12)
 
 
 def _drop_tiny_slots(dt: np.ndarray, di: np.ndarray, df: np.ndarray,
@@ -285,6 +328,9 @@ class RetrievalEngine:
         self._device_rows: Dict[str, Tuple[jnp.ndarray, ...]] = {}
         # per field: (term_bits, lo, step, r2) of the ragged pass-2 rows
         self._row_meta: Dict[str, Tuple[int, float, float, int]] = {}
+        # per field: [V] f32 per-term log bases (folded into the query
+        # weights at pack time; device decodes rows with lo=0)
+        self._term_lo: Dict[str, np.ndarray] = {}
         self._csr_scale: Tuple[float, float] = (0.0, 1.0)
         self._device_csr_title = None
         self._csr_scale_title: Tuple[float, float] = (0.0, 1.0)
@@ -332,10 +378,18 @@ class RetrievalEngine:
                 if self.compact_rows and name == "text":
                     dt_rows, di_rows = _drop_tiny_slots(
                         dt, di, idx.csr[3], self.tiny_cap)
+                idx_for_scale = (self.text_index if name == "text"
+                                 else self.title_index)
+                code_bits = 32 - max(int(np.ceil(
+                    np.log2(len(idx.vocab) + 2))), 1)
+                term_lo, t_step = _term_scale_from_csr(
+                    idx_for_scale, code_bits)
+                self._term_lo[name] = term_lo
                 if self.mesh is None:
                     flat, off, lens, tb, lo, step, r2 = \
                         _pack_doc_rows_ragged(dt_rows, di_rows,
-                                              len(idx.vocab))
+                                              len(idx.vocab),
+                                              scale=(term_lo, t_step))
                     self._row_meta[name] = (tb, lo, step, r2)
                     self._device_rows[name] = (
                         jnp.asarray(flat), jnp.asarray(off),
@@ -365,25 +419,19 @@ class RetrievalEngine:
                             jnp.asarray(off32), jnp.asarray(packed))
                 else:
                     # sharded pruned: ragged rows per shard stacked
-                    # [S, NR, lanes] over 'data' (one shared quantization
-                    # scale so the jitted closure sees one (lo, step));
-                    # each shard gets a local capped CSR over its slice
+                    # [S, NR, lanes] over 'data'; the per-term scale is
+                    # computed from the FULL index so every shard encodes
+                    # consistently and the jitted closure sees one step
                     S, ss = self.n_shards, self._shard_size
-                    from .index import log_quantize
-
-                    _, g_lo, g_step = log_quantize(
-                        di_rows[dt_rows >= 0].astype(np.float32),
-                        bits=32 - max(int(np.ceil(
-                            np.log2(len(idx.vocab) + 2))), 1))
                     parts = [
                         _pack_doc_rows_ragged(
                             dt_rows[s * ss:(s + 1) * ss],
                             di_rows[s * ss:(s + 1) * ss],
-                            len(idx.vocab), scale=(g_lo, g_step))
+                            len(idx.vocab), scale=(term_lo, t_step))
                         for s in range(S)
                     ]
                     tb, r2 = parts[0][3], parts[0][6]
-                    self._row_meta[name] = (tb, g_lo, g_step, r2)
+                    self._row_meta[name] = (tb, 0.0, t_step, r2)
                     nr_max = max(p[0].shape[0] for p in parts)
                     flat = np.full((S, nr_max, parts[0][0].shape[1]), -1,
                                    np.int32)
@@ -714,13 +762,28 @@ class RetrievalEngine:
             elif t_cols:
                 segs += [t_doc, (-t_ex).view(np.int32)]
         segs += [np.ascontiguousarray(q_terms, np.int32),
-                 np.ascontiguousarray(q_weights, np.float32).view(np.int32)]
+                 self._fold_weights(q_terms, q_weights,
+                                    "text").view(np.int32)]
         lqs = [q_terms.shape[1]]
         for (ft, fw) in extra_fields:
             segs.append(np.ascontiguousarray(ft, np.int32))
-            segs.append(np.ascontiguousarray(fw, np.float32).view(np.int32))
+            segs.append(self._fold_weights(ft, fw, "title").view(np.int32))
             lqs.append(ft.shape[1])
         return np.concatenate(segs, axis=1), tuple(lqs), t_cols
+
+    def _fold_weights(self, qt: np.ndarray, qw: np.ndarray,
+                      field: str) -> np.ndarray:
+        """Fold the per-term row-quantization base into the query weight:
+        matched pass-2 slots decode as exp((code-1)*step), so the true
+        contribution w*imp = (w*exp(term_lo[t])) * exp((code-1)*step).
+        Negative (pad/OOV) term ids never match a row slot, so their
+        weight value is irrelevant."""
+        tl = self._term_lo.get(field)
+        if tl is None:
+            return np.ascontiguousarray(qw, np.float32)
+        safe = np.maximum(qt, 0)
+        return np.ascontiguousarray(
+            qw * np.exp(tl[safe]), np.float32)
 
     @staticmethod
     def unpack_result(out: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

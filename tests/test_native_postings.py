@@ -139,3 +139,72 @@ def test_pack_ragged_native_numpy_agree(arrays, monkeypatch):
     assert np.array_equal(out_native[1], out_numpy[1])
     assert np.array_equal(out_native[2], out_numpy[2])
     assert out_native[3:] == out_numpy[3:]
+
+
+def test_pack_ragged_per_term_scale(arrays):
+    """Per-term scale mode: codes store ln(imp) - term_lo[t]; decode with
+    lo=0 and the base folded into the query weight reproduces the true
+    impact to within step/2 — and the step is (much) finer than the
+    global-scale step for the same bit budget."""
+    from kbner_tpu.retrieval.engine import (_pack_doc_rows_ragged,
+                                            _term_scale_from_csr)
+    from kbner_tpu.retrieval import BM25Index, BM25Params
+
+    dt, di, V = arrays
+    term_bits = max(int(np.ceil(np.log2(V + 2))), 1)
+    code_bits = 32 - term_bits
+
+    # term scale from a real index csr over the same arrays
+    class FakeIdx:
+        pass
+    idx = FakeIdx()
+    idx.vocab = {i: i for i in range(V)}
+    res = native.build_csr(dt, di, V)
+    idx.csr = res
+    term_lo, step = _term_scale_from_csr(idx, code_bits)
+    assert term_lo.shape == (V,)
+
+    g = _pack_doc_rows_ragged(dt, di, V)           # global scale
+    p = _pack_doc_rows_ragged(dt, di, V, scale=(term_lo, step))
+    assert p[4] == 0.0                              # lo folded out
+    assert p[6] == g[6]
+    assert step < g[5]                              # finer quantization
+
+    flat, off, lens, tb, lo, st, r2 = p
+    mask = (1 << tb) - 1
+    for d in range(0, len(dt), 131):
+        L = int(lens[d])
+        seg = flat.ravel()[int(off[d]): int(off[d]) + L]
+        terms = (seg.view(np.uint32) & mask).astype(np.int64)
+        codes = seg.view(np.uint32) >> tb
+        true = di[d][dt[d] >= 0]
+        deq = np.where(
+            codes > 0,
+            np.exp(term_lo[terms].astype(np.float64)
+                   + (codes.astype(np.float64) - 1) * st), 0.0)
+        ok = true > 0
+        assert np.allclose(np.log(np.maximum(deq[ok], 1e-30)),
+                           np.log(true[ok]), atol=st / 2 + 1e-9)
+
+
+def test_pack_ragged_per_term_native_numpy_agree(arrays, monkeypatch):
+    from kbner_tpu.retrieval import engine as eng_mod
+    from kbner_tpu.retrieval.engine import _term_scale_from_csr
+
+    dt, di, V = arrays
+    if native._load() is None:
+        pytest.skip("native library unavailable")
+
+    class FakeIdx:
+        pass
+    idx = FakeIdx()
+    idx.vocab = {i: i for i in range(V)}
+    idx.csr = native.build_csr(dt, di, V)
+    term_bits = max(int(np.ceil(np.log2(V + 2))), 1)
+    term_lo, step = _term_scale_from_csr(idx, 32 - term_bits)
+
+    a = eng_mod._pack_doc_rows_ragged(dt, di, V, scale=(term_lo, step))
+    monkeypatch.setattr("kbner_tpu.native.pack_ragged",
+                        lambda *args, **kw: False)
+    b = eng_mod._pack_doc_rows_ragged(dt, di, V, scale=(term_lo, step))
+    assert np.array_equal(a[0], b[0])
