@@ -803,13 +803,19 @@ class RetrievalEngine:
                 raise ValueError("engine built without a title index")
             extra.append((title_terms, title_weights))
         packed, lqs, t_cols = self._pack_queries(q_terms, q_weights, extra)
+        return self._dispatch_packed(jnp.asarray(packed), lqs, t_cols, k,
+                                     bool(extra))
+
+    def _dispatch_packed(self, packed_dev, lqs, t_cols, k: int,
+                         with_title: bool):
         run = self._pruned_topk_fn(k, lqs, self.per_term_cap, t_cols)
         csr_arrays = list(self._device_csr)
-        if extra and self._device_csr_title is not None:
+        if with_title and self._device_csr_title is not None:
             csr_arrays += list(self._device_csr_title)
-        row_arrays = [a for name in (["text"] + (["title"] if extra else []))
+        row_arrays = [a for name in (["text"]
+                                     + (["title"] if with_title else []))
                       for a in self._device_rows[name]]
-        return run(jnp.asarray(packed), *csr_arrays, *row_arrays)
+        return run(packed_dev, *csr_arrays, *row_arrays)
 
     def _search_pruned(
         self, q_terms, q_weights, k, title_terms, title_weights,
@@ -817,6 +823,53 @@ class RetrievalEngine:
         out = self._search_pruned_device(
             q_terms, q_weights, k, title_terms, title_weights)
         return self.unpack_result(out)
+
+    def search_stream(self, batches, k: int = 10):
+        """Fully pipelined pruned search over an iterable of
+        ``(q_terms, q_weights)`` batches, yielding ``(scores, ids)`` per
+        batch in order.
+
+        Three stages overlap: a worker thread packs batch i+1 on the
+        host AND starts its host->device transfer while the device runs
+        batch i and the caller's thread pulls batch i-1's result. On a
+        remote-tunneled device the transfer (fixed round trip + payload)
+        is the single largest per-batch cost — overlapping it with
+        compute is worth ~1.5x throughput at wiki-scale settings. This is
+        the serving loop's shape (cli serve / bench pipeline).
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self.mode != "pruned":
+            for qt, qw in batches:
+                yield self.search_encoded(qt, qw, k=k)
+            return
+
+        def prep(b):
+            qt, qw = b
+            packed, lqs, t_cols = self._pack_queries(qt, qw, ())
+            dev = jnp.asarray(packed)  # transfer starts on the worker
+            return dev, lqs, t_cols
+
+        it = iter(batches)
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            futs = []
+            try:
+                futs.append(ex.submit(prep, next(it)))
+            except StopIteration:
+                return
+            pending = None
+            for nxt in it:
+                futs.append(ex.submit(prep, nxt))
+                dev, lqs, t_cols = futs.pop(0).result()
+                cur = self._dispatch_packed(dev, lqs, t_cols, k, False)
+                if pending is not None:
+                    yield self.unpack_result(pending)
+                pending = cur
+            dev, lqs, t_cols = futs.pop(0).result()
+            cur = self._dispatch_packed(dev, lqs, t_cols, k, False)
+            if pending is not None:
+                yield self.unpack_result(pending)
+            yield self.unpack_result(cur)
 
     def _pruned_topk_fn(self, k: int, lqs: Tuple[int, ...],
                         per_term_cap: int, t_cols: int = 0):

@@ -303,3 +303,21 @@ def test_pruned_entity_boost_matches_exhaustive(corpus_index):
         np.testing.assert_allclose(
             sorted(d.score for d in a), sorted(d.score for d in b),
             rtol=2e-3)  # 12-bit log-quantized row impacts
+
+
+def test_search_stream_matches_batchwise(corpus_index):
+    """The pipelined stream yields exactly the per-batch results, in
+    order (upload/compute overlap must not reorder or corrupt)."""
+    docs, index = corpus_index
+    engine = RetrievalEngine(index, mode="pruned", rare_terms=12,
+                             posting_budget=4096, n_candidates=128)
+    rng = np.random.RandomState(7)
+    batches = [index.encode_queries(
+        [docs[i] for i in rng.randint(0, len(docs), 16)])
+        for _ in range(4)]
+    got = list(engine.search_stream(batches, k=5))
+    assert len(got) == 4
+    for (qt, qw), (s, i) in zip(batches, got):
+        s2, i2 = engine._search_pruned(qt, qw, 5, None, None)
+        np.testing.assert_array_equal(i, i2)
+        np.testing.assert_allclose(s, s2, rtol=1e-6)
