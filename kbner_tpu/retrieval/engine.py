@@ -1091,10 +1091,13 @@ class RetrievalEngine:
         scores, ids = self.search_encoded(
             q_terms, q_weights, k=k, title_terms=t_terms,
             title_weights=t_weights)
+        return self._materialize(scores, ids)
 
+    def _materialize(self, scores: np.ndarray, ids: np.ndarray
+                     ) -> List[List[RetrievedDoc]]:
         results: List[List[RetrievedDoc]] = []
         n_real = self.text_index.n_docs
-        for qi in range(len(queries)):
+        for qi in range(ids.shape[0]):
             row = []
             for r in range(ids.shape[1]):
                 d, s = int(ids[qi, r]), float(scores[qi, r])
@@ -1106,6 +1109,23 @@ class RetrievalEngine:
                     row.append(RetrievedDoc(doc_id=d, score=s))
             results.append(row)
         return results
+
+    def search_texts_stream(self, queries: Sequence[str], k: int = 10,
+                            batch_size: int = 1024,
+                            max_query_terms: int = 64,
+                            ) -> List[List[RetrievedDoc]]:
+        """Text-query retrieval through the pipelined stream: encodes in
+        ``batch_size`` chunks and overlaps pack/upload with device
+        compute (pruned mode; other modes fall back to batchwise)."""
+        batches = [
+            self.text_index.encode_queries(
+                list(queries[i:i + batch_size]),
+                max_query_terms=max_query_terms)
+            for i in range(0, len(queries), batch_size)]
+        out: List[List[RetrievedDoc]] = []
+        for scores, ids in self.search_stream(batches, k=k):
+            out.extend(self._materialize(scores, ids))
+        return out
 
 
 def langwiki_search(

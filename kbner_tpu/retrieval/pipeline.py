@@ -68,6 +68,12 @@ def retrieve_for_records(
     if with_entity:
         ents = (list(map(list, entities)) if entities is not None
                 else [extract_entities(r, tag_layer) for r in records])
+    if ents is None and engine.mode == "pruned":
+        # sentence-only queries ride the pipelined stream (pack/upload
+        # overlap device compute); entity-boosted queries carry a title
+        # field the stream does not pack, so they stay batchwise
+        return engine.search_texts_stream(queries, k=k,
+                                          batch_size=batch_size)
     out: List[List[RetrievedDoc]] = []
     for i in range(0, len(queries), batch_size):
         qs = queries[i:i + batch_size]
