@@ -228,16 +228,18 @@ def bench_retrieval(on_tpu: bool) -> dict:
     log(f"[bench] build_encoded: {build_s:.1f}s "
         f"({N_DOCS / build_s:.0f} docs/s), Ld={index.doc_terms.shape[1]}")
 
-    # knobs from the r2 sweeps at 4.19M docs (cost ~linear in C, sub-
-    # linear in budget): budget 12288 + C=1792 holds recall@10 at 0.991
-    # on the bench batch (8192/1536: 0.9895, 8192/1024: 0.9893 — under
-    # the bar; 16384/1792: 0.9918 but -11% q/s); deeper per-term windows
-    # buy recall more cheaply than a larger candidate set
+    # knobs from the r3 sweeps at 4.19M docs: recall saturates in both
+    # budget (6144 == 12288 to 3e-4) and n_cand (1792 == 2304) — the
+    # binding constraints were SCORING precision, fixed by the per-term
+    # row scale + f32 tiny-exact block (tiny_pack=False: 0.9906 vs
+    # 0.9895 packed), and the upload round trip, hidden by the
+    # search_stream worker pipeline. tiny_width=384 caps the tiny
+    # block's batch-max padding (recall-neutral, -15% upload bytes).
     t0 = time.perf_counter()
     engine = RetrievalEngine(
         index, mode="pruned", use_pallas=on_tpu, rare_terms=16,
-        posting_budget=int(os.environ.get("BENCH_BUDGET", "12288")),
-        n_candidates=N_CAND)
+        posting_budget=int(os.environ.get("BENCH_BUDGET", "6144")),
+        n_candidates=N_CAND, tiny_width=384, tiny_pack=False)
     # force CSR + upload completion
     jax.block_until_ready(engine._device_csr)
     upload_s = time.perf_counter() - t0
@@ -262,23 +264,16 @@ def bench_retrieval(on_tpu: bool) -> dict:
         batches.append(encode_rows(tok[ids]))
 
     # warmup (compile) on the spare batches
-    for qt, qw in batches[:2]:
-        s, i = engine.search_encoded(qt, qw, k=K)  # returns synced np arrays
-    # timed: double-buffered — dispatch batch i, pull batch i-1's result
-    # (serving would pipeline the same way; the remote tunnel's ~30 ms
-    # round trip otherwise serializes with the device work). Every batch's
-    # result IS pulled inside the timed window.
+    list(engine.search_stream(batches[:2], k=K))
+    # timed: the production stream — host pack + host->device transfer
+    # on worker threads overlap device compute and result pulls (the
+    # remote tunnel's ~30 ms round trip otherwise serializes with the
+    # device work). Every batch's result IS pulled inside the window.
     t0 = time.perf_counter()
-    pending = None
-    for qt, qw in batches[2:]:
-        cur = engine._search_pruned_device(qt, qw, K, None, None)
-        if pending is not None:
-            engine.unpack_result(pending)
-        pending = cur
-    s, i = engine.unpack_result(pending)
-    dt = (time.perf_counter() - t0) / N_ITER
+    n_done = sum(1 for _ in engine.search_stream(batches[2:], k=K))
+    dt = (time.perf_counter() - t0) / n_done
     qps = Q_BATCH / dt
-    log(f"[bench] pruned (pipelined): {qps:.0f} q/s")
+    log(f"[bench] pruned (streamed): {qps:.0f} q/s")
 
     # recall@10 vs the exact exhaustive kernel on one batch: a pruned hit
     # is correct if the RETURNED DOC's exact (f32) BM25 score reaches the
