@@ -7,7 +7,7 @@ from .crf import (
 )
 from .bm25 import (
     bm25_pruned_topk,
-    bm25_pruned_topk_rows,
+    bm25_pruned_topk_packed,
     bm25_score_block_pallas,
     bm25_score_block_xla,
     bm25_topk,
@@ -36,7 +36,7 @@ __all__ = [
     "bm25_score_block_pallas",
     "bm25_topk",
     "bm25_pruned_topk",
-    "bm25_pruned_topk_rows",
+    "bm25_pruned_topk_packed",
     "merge_topk",
     "tree_crf_inside",
     "tree_crf_loss",

@@ -370,6 +370,26 @@ def bm25_pruned_topk(
     cand_valid = jnp.isfinite(part_scores)
     safe_ids = jnp.where(cand_valid, cand_ids, 0)
 
+    total = _rescore_candidates(safe_ids, fields, ragged_rows, use_pallas)
+
+    if exact_by_sign:
+        # pass-1-exact contributions (tiny terms absent from the rows):
+        # by the ordering contract the run's unique negative entry sits at
+        # the run start — exactly where top-C candidate positions point
+        total = total + jnp.take_along_axis(
+            jnp.maximum(-enc, 0.0), pos, axis=1)
+
+    if n_real_docs is not None:
+        cand_valid = cand_valid & (cand_ids < n_real_docs)
+    total = jnp.where(cand_valid, total, -jnp.inf)
+    kk = min(k, C)
+    top_scores, idx = jax.lax.top_k(total, kk)
+    top_ids = jnp.take_along_axis(cand_ids, idx, axis=1)
+    top_ids = jnp.where(jnp.isfinite(top_scores), top_ids, -1)
+    return top_scores, top_ids
+
+
+def _rescore_candidates(safe_ids, fields, ragged_rows, use_pallas):
     # pass 2: (near-)exact rescoring over all fields — a row-block gather
     # of the candidates' doc-major rows. Field layouts:
     #   (qt, qw, doc_terms, doc_impacts)                    f32 legacy
@@ -384,7 +404,9 @@ def bm25_pruned_topk(
     # row — are masked via the global slot index. The row GATHER dominates
     # pass-2 (~50 ns per gathered row on v5e); impacts are log-quantized
     # (retrieval/index.py::log_quantize, <= 0.1% relative at >= 12 code
-    # bits, in the same class as Lucene's own 1-byte norm quantization).
+    # bits, in the same class as Lucene's own 1-byte norm quantization;
+    # the production per-term scale is finer still, engine.py).
+    Q, C = safe_ids.shape
     total = jnp.zeros((Q, C), jnp.float32)
     for f_idx, field in enumerate(fields):
         if len(field) == 8:
@@ -442,13 +464,74 @@ def bm25_pruned_topk(
             m = dt_rows == t  # [Q, C, Ld]
             total = total + w * jnp.sum(
                 jnp.where(m, di_rows, 0.0), axis=-1)
+    return total
 
-    if exact_by_sign:
-        # pass-1-exact contributions (tiny terms absent from the rows):
-        # by the ordering contract the run's unique negative entry sits at
-        # the run start — exactly where top-C candidate positions point
-        total = total + jnp.take_along_axis(
-            jnp.maximum(-enc, 0.0), pos, axis=1)
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "n_candidates", "max_dup_shifts", "use_pallas",
+                     "ragged_rows"),
+)
+def bm25_pruned_topk_packed(
+    cand_keys: jnp.ndarray,  # [Q, P] uint32 (doc << 8) | code8; pad ~0
+    fields: Tuple[Tuple, ...],
+    n_real_docs: int | jnp.ndarray = None,
+    k: int = 10,
+    n_candidates: int = 512,
+    max_dup_shifts: int = 16,
+    imp_lo: float | jnp.ndarray = 0.0,
+    imp_step: float | jnp.ndarray = 1.0,
+    tiny_doc: jnp.ndarray = None,  # [Q, T] int32 (-1 pad)
+    tiny_ex: jnp.ndarray = None,   # [Q, T] f32 exact tiny sums
+    use_pallas: bool = False,
+    ragged_rows: Tuple[int, ...] = (),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-key variant of :func:`bm25_pruned_topk`: every pass-1
+    candidate is ONE uint32 ``(doc << 8) | code8`` (pad = all-ones), so
+    the doc-major dedup sort runs with a single operand — the sort is the
+    pass-1 bottleneck on TPU, and the two-operand (key, value) network
+    costs ~1.5x the one-operand one. The 8-bit code (shared
+    ``imp_lo``/``imp_step`` log scale — the packed CSR's own) only RANKS
+    candidates; scores come from the pass-2 rescore plus the f32
+    ``tiny_ex`` exact sums matched against the selected candidates (so
+    tiny-term contributions stay lossless without riding the sort as a
+    second operand — the old ``exact_by_sign`` contract is gone).
+    """
+    Q, P = cand_keys.shape
+    SENT = jnp.uint32(0xFFFFFFFF)
+    keys = jax.lax.sort(cand_keys, dimension=1, is_stable=False)
+    doc = jnp.right_shift(keys, 8).astype(jnp.int32)
+    code = (keys & jnp.uint32(0xFF)).astype(jnp.float32)
+    valid = keys != SENT
+    imp = jnp.where(valid & (code > 0),
+                    jnp.exp(imp_lo + (code - 1.0) * imp_step), 0.0)
+
+    summed = imp
+    for s in range(1, max_dup_shifts):
+        if s >= P:
+            break
+        match = doc[:, s:] == doc[:, :-s]
+        summed = summed.at[:, : P - s].add(
+            jnp.where(match, imp[:, s:], 0.0))
+    run_start = jnp.concatenate(
+        [jnp.ones((Q, 1), bool), doc[:, 1:] != doc[:, :-1]], axis=1)
+    partial = jnp.where(run_start & valid, summed, -jnp.inf)
+
+    C = min(n_candidates, P)
+    part_scores, pos = jax.lax.top_k(partial, C)
+    cand_ids = jnp.take_along_axis(doc, pos, axis=1)
+    cand_valid = jnp.isfinite(part_scores)
+    safe_ids = jnp.where(cand_valid, cand_ids, 0)
+
+    total = _rescore_candidates(safe_ids, fields, ragged_rows, use_pallas)
+    if tiny_doc is not None:
+        # lossless tiny contributions: match the selected candidates
+        # against the host-gathered (doc, f32 sum) block. [Q, C, T]
+        # compare+sum fuses into one reduction pass in XLA.
+        m = safe_ids[:, :, None] == tiny_doc[:, None, :]
+        total = total + jnp.sum(
+            jnp.where(m & (tiny_doc[:, None, :] >= 0),
+                      tiny_ex[:, None, :], 0.0), axis=-1)
 
     if n_real_docs is not None:
         cand_valid = cand_valid & (cand_ids < n_real_docs)
@@ -460,50 +543,47 @@ def bm25_pruned_topk(
     return top_scores, top_ids
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "n_candidates", "per_term_cap", "max_dup_shifts",
-                     "use_pallas"),
-)
-def bm25_pruned_topk_rows(
+def gather_pruned_candidate_keys(
     rare_terms: jnp.ndarray,  # [Q, M] int32 pass-1 term ids (-1 pad)
     offsets: jnp.ndarray,  # [V+1] int32 CSR element offsets
     packed_rows: jnp.ndarray,  # [NR, 128] int32 (code8 << 24) | doc_id
-    fields: Tuple[Tuple, ...],
-    n_real_docs: int | jnp.ndarray,
-    k: int = 10,
-    n_candidates: int = 512,
-    per_term_cap: int = 1024,
-    max_dup_shifts: int = 16,
-    imp_lo: float = 0.0,
-    imp_step: float = 1.0,
-    use_pallas: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Row-blocked two-pass pruned top-k — the fast device path.
-
-    The postings live as PACKED 128-lane rows — one int32 per posting,
-    ``(impact8 << 24) | doc_id`` (``retrieval/index.py::pack_postings``);
-    each rare term's posting window [off, off+min(df, cap)) is fetched by
-    gathering the covering rows (cost on TPU ~ #row indices, ~50ns each)
-    rather than per element — and the single packed array halves the
-    row-gather count and HBM footprint vs separate doc/impact arrays.
-    ``imp_lo``/``imp_step`` dequantize the 8-bit impact codes (pass-1
-    impacts only rank candidates; pass 2 rescores from the field rows).
-    Out-of-window lanes are masked via the global element index. Postings
-    must be padded so any window's covering rows exist
-    (``BM25Index.csr_rows_packed`` adds the guard rows).
-
-    With impact-ordered postings (``BM25Index.csr``), the cap-sized prefix
-    of each term's postings contains its highest-impact documents, which is
-    what keeps recall@k high at small caps (MaxScore/impact-ordered
-    pruning).
-    """
-    cand_doc, cand_imp = gather_pruned_candidates(
-        rare_terms, offsets, packed_rows, per_term_cap, imp_lo, imp_step)
-    return bm25_pruned_topk(
-        cand_doc, cand_imp, fields, n_real_docs=n_real_docs, k=k,
-        n_candidates=n_candidates, max_dup_shifts=max_dup_shifts,
-        use_pallas=use_pallas)
+    per_term_cap: int,
+    reencode: bool = False,
+    lo_src: float | jnp.ndarray = 0.0,
+    step_src: float | jnp.ndarray = 1.0,
+    lo_dst: float | jnp.ndarray = 0.0,
+    step_dst: float | jnp.ndarray = 1.0,
+) -> jnp.ndarray:
+    """Pass-1 window gather emitting packed uint32 sort keys
+    ``(doc << 8) | code8`` (pad = all-ones) for
+    :func:`bm25_pruned_topk_packed`. When the source CSR's log scale
+    differs from the pooled key scale (title field pooled with text),
+    codes are re-encoded: code' = ((lo_s + (code-1)*step_s) - lo_d)
+    / step_d, clipped to [1, 255]."""
+    Q, M = rare_terms.shape
+    cap = per_term_cap
+    R = (cap + 127) // 128 + 1
+    safe = jnp.maximum(rare_terms, 0)
+    o = offsets[safe].astype(jnp.int32)
+    dfq = (offsets[safe + 1] - offsets[safe]).astype(jnp.int32)
+    eff = jnp.where(rare_terms >= 0, jnp.minimum(dfq, cap), 0)
+    r0 = o >> 7
+    rr = jax.lax.broadcasted_iota(jnp.int32, (Q, M, R), 2)
+    rows = r0[:, :, None] + rr
+    p_rows = packed_rows[rows]  # [Q, M, R, 128]
+    d = (p_rows & 0xFFFFFF).astype(jnp.uint32)
+    code = jax.lax.shift_right_logical(p_rows, 24).astype(jnp.uint32)
+    if reencode:
+        cf = code.astype(jnp.float32)
+        re = jnp.clip(jnp.round(
+            (lo_src + (cf - 1.0) * step_src - lo_dst) / step_dst) + 1.0,
+            1.0, 255.0)
+        code = jnp.where(code > 0, re.astype(jnp.uint32), code)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Q, M, R, 128), 3)
+    g = rows[..., None] * 128 + lane
+    in_win = (g >= o[:, :, None, None]) & (g < (o + eff)[:, :, None, None])
+    keys = jnp.where(in_win, (d << 8) | code, jnp.uint32(0xFFFFFFFF))
+    return keys.reshape(Q, -1)
 
 
 def gather_pruned_candidates(
@@ -515,8 +595,9 @@ def gather_pruned_candidates(
     imp_step: float | jnp.ndarray,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pass-1 candidate gather: each rare term's capped posting window as
-    (cand_doc [Q, P], cand_imp [Q, P]) with -1 pads. Factored out of
-    :func:`bm25_pruned_topk_rows` so multi-field engines can pool
+    (cand_doc [Q, P], cand_imp [Q, P]) with -1 pads. The two-operand
+    companion of :func:`gather_pruned_candidate_keys`, kept for
+    :func:`bm25_pruned_topk` callers; multi-field engines can pool
     candidates from several CSRs (ES bool.should finds a doc through ANY
     matching field, generate_data.py:52-55 — text-only candidate
     generation would miss docs reachable only via their title)."""

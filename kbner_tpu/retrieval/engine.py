@@ -919,7 +919,8 @@ class RetrievalEngine:
         m_dup = M * n_rare_blocks + (1 if t_cols else 0)
         tcsr_lo, tcsr_step = self._csr_scale_title
 
-        from ..ops.bm25 import bm25_pruned_topk, gather_pruned_candidates
+        from ..ops.bm25 import (bm25_pruned_topk_packed,
+                                gather_pruned_candidate_keys)
 
         def unpack_queries(packed, row_arrays):
             rares = [packed[:, i * M:(i + 1) * M]
@@ -938,11 +939,11 @@ class RetrievalEngine:
                     enc, docbits).astype(jnp.float32)
                 ex = jnp.where(
                     code > 0, jnp.exp(t_lo + (code - 1.0) * t_step), 0.0)
-                tiny = (jnp.where(ex > 0, d, -1), -ex)
+                tiny = (jnp.where(ex > 0, d, -1), ex)
                 pos += t_cols + 2
             elif t_cols:
                 t_doc = packed[:, pos: pos + t_cols]
-                t_ex = jax.lax.bitcast_convert_type(
+                t_ex = -jax.lax.bitcast_convert_type(
                     packed[:, pos + t_cols: pos + 2 * t_cols], jnp.float32)
                 tiny = (t_doc, t_ex)
                 pos += 2 * t_cols
@@ -958,27 +959,44 @@ class RetrievalEngine:
             return rares, tiny, tuple(fields)
 
         def pooled_topk(rares, tiny, csrs, fields, n_docs):
-            cds, cis = [], []
+            # every pass-1 candidate becomes ONE uint32 sort key
+            # (doc << 8 | code8) on the TEXT CSR's log scale — a
+            # single-operand dedup sort is ~1.5x cheaper than the old
+            # (doc, f32) two-operand network. Title windows re-encode
+            # onto the text scale; codes only RANK (scores come from
+            # pass 2 + the f32 tiny match inside the kernel).
+            # one RANKING scale for every key: the text scale widened by
+            # ln(64) of headroom so pre-summed tiny contributions (which
+            # exceed any single impact) don't clip to the top code and
+            # lose their ordering against multi-term window docs
+            rank_lo = csr_lo
+            rank_step = csr_step + float(np.log(64.0)) / 254.0
+            key_blocks = []
             for rare, (off, pk, lo, step) in zip(rares, csrs):
-                cd, ci = gather_pruned_candidates(
-                    rare, off, pk, per_term_cap, lo, step)
-                cds.append(cd)
-                cis.append(ci)
+                key_blocks.append(gather_pruned_candidate_keys(
+                    rare, off, pk, per_term_cap,
+                    reencode=True, lo_src=lo, step_src=step,
+                    lo_dst=rank_lo, step_dst=rank_step))
+            t_doc = t_ex = None
             if tiny is not None:
-                # the tiny block joins the candidate pool FIRST (the
-                # kernel's exact_by_sign ordering contract): |sum| ranks
-                # (f32-exact), the negative sign tells the kernel to ADD
-                # the sums to pass-2 totals (those terms have no pass-2
-                # row slots)
                 t_doc, t_ex = tiny
-                cds.insert(0, t_doc)
-                cis.insert(0, t_ex)
-            return bm25_pruned_topk(
-                jnp.concatenate(cds, axis=1),
-                jnp.concatenate(cis, axis=1),
+                # quantize the f32 tiny sums onto the ranking scale
+                # (ranking only; the kernel adds the exact f32 values to
+                # pass 2)
+                code = jnp.clip(jnp.round(
+                    (jnp.log(jnp.maximum(t_ex, 1e-30)) - rank_lo)
+                    / rank_step) + 1.0, 1.0, 255.0).astype(jnp.uint32)
+                ok = (t_doc >= 0) & (t_ex > 0)
+                tkeys = jnp.where(
+                    ok, (t_doc.astype(jnp.uint32) << 8) | code,
+                    jnp.uint32(0xFFFFFFFF))
+                key_blocks.append(tkeys)
+            return bm25_pruned_topk_packed(
+                jnp.concatenate(key_blocks, axis=1),
                 fields, n_real_docs=n_docs, k=k, n_candidates=n_cand,
-                max_dup_shifts=m_dup, use_pallas=use_pal,
-                ragged_rows=r2s, exact_by_sign=tiny is not None)
+                max_dup_shifts=m_dup, imp_lo=rank_lo, imp_step=rank_step,
+                tiny_doc=t_doc, tiny_ex=t_ex,
+                use_pallas=use_pal, ragged_rows=r2s)
 
         def pack_result(scores, ids):
             return jnp.concatenate(

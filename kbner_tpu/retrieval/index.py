@@ -197,7 +197,7 @@ class BM25Index:
 
     def csr_rows(self, lanes: int = 128, guard_rows: int = 32):
         """Row-blocked postings for the fast device gather path
-        (``ops/bm25.py::bm25_pruned_topk_rows``): the CSR postings padded
+        (``ops/bm25.py::gather_pruned_candidate_keys``): the CSR postings padded
         to whole ``lanes``-wide rows plus ``guard_rows`` so any window's
         covering rows exist. Returns (offsets int32 [V+1],
         doc rows [NR, lanes] int32 pad -1, impact rows [NR, lanes] f32)."""

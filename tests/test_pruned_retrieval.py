@@ -321,3 +321,40 @@ def test_search_stream_matches_batchwise(corpus_index):
         s2, i2 = engine._search_pruned(qt, qw, 5, None, None)
         np.testing.assert_array_equal(i, i2)
         np.testing.assert_allclose(s, s2, rtol=1e-6)
+
+
+def test_packed_kernel_matches_two_operand(corpus_index):
+    """The single-key packed kernel returns the same top-k as the
+    two-operand reference kernel on identical candidate pools."""
+    import jax.numpy as jnp
+    from kbner_tpu.ops.bm25 import (bm25_pruned_topk_packed,
+                                    gather_pruned_candidate_keys,
+                                    gather_pruned_candidates)
+
+    docs, index = corpus_index
+    eng = RetrievalEngine(index, mode="pruned", rare_terms=12,
+                          posting_budget=4096, n_candidates=128,
+                          compact_rows=False)
+    rng = np.random.RandomState(3)
+    queries = [docs[i] for i in rng.randint(0, len(docs), 8)]
+    qt, qw = index.encode_queries(queries)
+    rare = eng._select_rare_terms(qt)
+    off, pk = eng._device_csr
+    lo, step = eng._csr_scale
+    cd, ci = gather_pruned_candidates(jnp.asarray(rare), off, pk,
+                                      eng.per_term_cap, lo, step)
+    keys = gather_pruned_candidate_keys(jnp.asarray(rare), off, pk,
+                                        eng.per_term_cap)
+    tb, rlo, rstep, r2 = eng._row_meta["text"]
+    flat, doff, dlen = eng._device_rows["text"]
+    qwf = eng._fold_weights(qt, qw, "text")
+    fields = ((jnp.asarray(qt), jnp.asarray(qwf), flat, doff, dlen, tb,
+               rlo, rstep),)
+    s1, i1 = bm25_pruned_topk(cd, ci, fields, n_real_docs=index.n_docs,
+                              k=10, n_candidates=128, max_dup_shifts=12,
+                              ragged_rows=(r2,))
+    s2, i2 = bm25_pruned_topk_packed(
+        keys, fields, n_real_docs=index.n_docs, k=10, n_candidates=128,
+        max_dup_shifts=12, imp_lo=lo, imp_step=step, ragged_rows=(r2,))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5)
