@@ -34,6 +34,7 @@ import json
 import os
 import sys
 import time
+from typing import Optional
 
 import numpy as np
 
@@ -349,11 +350,46 @@ def bench_quality_gate() -> dict:
         return {"train_f1": -1.0}
 
 
-def main():
-    import jax
+def _resolve_backend(timeout_s: Optional[float] = None) -> str:
+    """``jax.default_backend()`` with a liveness bound. The axon site hook
+    initializes the TPU-tunnel backend inside the first backend probe and
+    BLOCKS FOREVER in ``make_c_api_client`` if the tunnel is down — even
+    under ``JAX_PLATFORMS=cpu``. Probe in a daemon thread; on timeout,
+    re-exec this process with the tunnel marker stripped so the bench
+    still completes (on CPU, flagged in the output) instead of hanging
+    the driver."""
+    import threading
 
-    backend = jax.default_backend()
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("BENCH_PROBE_TIMEOUT", "240"))
+    out: list = []
+
+    def probe():
+        import jax
+
+        out.append(jax.default_backend())
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if out:
+        return out[0]
+    log(f"[bench] TPU tunnel unreachable after {timeout_s:.0f}s; "
+        "re-running on CPU")
+    env = {k: v for k, v in os.environ.items()
+           if k != "PALLAS_AXON_POOL_IPS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["BENCH_TPU_FALLBACK"] = "1"
+    env.setdefault("BENCH_SMOKE", "1")  # CPU can't run the 4.19M-doc scale
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+    raise RuntimeError("unreachable")  # execve does not return
+
+
+def main():
+    backend = _resolve_backend()
     on_tpu = backend == "tpu"
+    if os.environ.get("BENCH_TPU_FALLBACK"):
+        backend += " (TPU TUNNEL UNREACHABLE — CPU fallback numbers)"
 
     quality = bench_quality_gate()
     log(f"[bench] quality gate train_f1: {quality['train_f1']}")

@@ -665,7 +665,9 @@ def cmd_retrieve(args):
 
     _setup_logging(None)
     text_index, store, title_index = build_kb_from_jsonl(
-        args.kb, lang=args.lang)
+        args.kb, lang=args.lang,
+        store_path=getattr(args, "store", None),
+        fail_path=getattr(args, "kb_fail_file", None))
     engine = RetrievalEngine(
         text_index, store=store, title_index=title_index,
         mode=args.engine_mode)
@@ -777,7 +779,8 @@ def cmd_serve(args):
         from .retrieval.pipeline import build_kb_from_jsonl
 
         text_index, store, title_index = build_kb_from_jsonl(
-            args.kb, lang=args.lang)
+            args.kb, lang=args.lang,
+            store_path=getattr(args, "store", None))
         engine = RetrievalEngine(
             text_index, store=store, title_index=title_index,
             mode=args.engine_mode)
@@ -933,6 +936,9 @@ def main(argv=None):
     sp.add_argument("--k", type=int, default=10)
     sp.add_argument("--mode", default="sentence_link")
     sp.add_argument("--engine_mode", default="exhaustive")
+    sp.add_argument("--store", default=None,
+                    help="stream KB payloads to a PackedDocStore file so "
+                         "serving does not hold paragraphs in RAM")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("speed")
@@ -973,6 +979,12 @@ def main(argv=None):
     sp.add_argument("--tokenizer_config",
                     help="experiment config whose tokenizer: block "
                          "measures the fusion budget")
+    sp.add_argument("--store", default=None,
+                    help="write/mmap doc payloads as a PackedDocStore file "
+                         "instead of holding paragraphs in RAM")
+    sp.add_argument("--kb_fail_file", default=None,
+                    help="append unparseable KB lines here and continue "
+                         "(build_kb.py:81-84 fail-file contract)")
     sp.add_argument("--hf_tokenizer",
                     help="local HF tokenizer dir for the fusion budget")
     sp.set_defaults(fn=cmd_retrieve)

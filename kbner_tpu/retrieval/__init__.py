@@ -1,6 +1,7 @@
 from .analyzer import cjk_analyze, get_analyzer, standard_analyze
 from .index import BM25Index, BM25Params, quantize_doc_length
 from .engine import DocStore, RetrievalEngine, RetrievedDoc, mix_search
+from .docstore import PackedDocStore, PackedDocStoreWriter
 from .dump import dump_to_jsonl, iter_dump_pages, wikitext_to_paragraphs
 
 __all__ = [
@@ -14,6 +15,8 @@ __all__ = [
     "BM25Params",
     "quantize_doc_length",
     "DocStore",
+    "PackedDocStore",
+    "PackedDocStoreWriter",
     "RetrievalEngine",
     "RetrievedDoc",
     "mix_search",

@@ -138,7 +138,9 @@ def build_kb_from_jsonl(
     max_docs: Optional[int] = None,
     params: Optional[BM25Params] = None,
     with_title_index: bool = True,
-) -> Tuple[BM25Index, DocStore, Optional[BM25Index]]:
+    store_path: Optional[str | Path] = None,
+    fail_path: Optional[str | Path] = None,
+) -> Tuple[BM25Index, "DocStore | PackedDocStore", Optional[BM25Index]]:
     """Build text (+title) indices from parsed-wiki JSONL.
 
     Input format matches the reference's ``parse_text.py`` output
@@ -146,26 +148,69 @@ def build_kb_from_jsonl(
     ``paragraph``, ``url`` fields. The ES mapping indexed ``text`` (the
     sentence) and ``title``; ``paragraph``/``url`` are stored, not searched
     (``build_kb.py:24-36``).
+
+    ``store_path`` streams payloads to an mmap-backed
+    :class:`~.docstore.PackedDocStore` instead of holding every
+    paragraph in RAM (the production path at dump scale; the LMDB/ES
+    ``_source`` role). ``fail_path`` appends unparseable input lines to
+    a fail file and continues — the ingest-failure contract of the
+    reference's bulk loader (``build_kb.py:81-84``) — instead of
+    aborting the whole build; without it malformed input still raises.
     """
+    from .docstore import PackedDocStoreWriter, PackedDocStore
+
     analyzer = get_analyzer(lang)
     sentences: List[str] = []
-    paragraphs: List[str] = []
     titles: List[str] = []
+    paragraphs: List[str] = []
     urls: List[str] = []
-    with open(path, encoding="utf-8") as f:
-        for line in f:
-            if not line.strip():
-                continue
-            obj = json.loads(line)
-            sentences.append(obj.get("sentence", ""))
-            paragraphs.append(obj.get("paragraph", ""))
-            titles.append(obj.get("title", ""))
-            urls.append(obj.get("url", ""))
-            if max_docs is not None and len(sentences) >= max_docs:
-                break
+    writer = (PackedDocStoreWriter(store_path)
+              if store_path is not None else None)
+    n_failed = 0
+    fail_f = open(fail_path, "a", encoding="utf-8") if fail_path else None
+    try:
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                try:
+                    obj = json.loads(line)
+                    if not isinstance(obj, dict):
+                        raise ValueError("record is not an object")
+                except ValueError:
+                    if fail_f is None:
+                        raise
+                    fail_f.write(line if line.endswith("\n") else line + "\n")
+                    n_failed += 1
+                    continue
+                sentence = obj.get("sentence", "")
+                title = obj.get("title", "")
+                sentences.append(sentence)
+                titles.append(title)
+                if writer is not None:
+                    writer.add(sentence, obj.get("paragraph", ""), title,
+                               obj.get("url", ""))
+                else:
+                    paragraphs.append(obj.get("paragraph", ""))
+                    urls.append(obj.get("url", ""))
+                if max_docs is not None and len(sentences) >= max_docs:
+                    break
+    finally:
+        if fail_f is not None:
+            fail_f.close()
+        if writer is not None:
+            writer.close()
+    if n_failed:
+        import logging
+        logging.getLogger(__name__).warning(
+            "build_kb_from_jsonl: %d unparseable lines appended to %s",
+            n_failed, fail_path)
     text_index = BM25Index.build(sentences, analyzer=analyzer, params=params)
     title_index = (BM25Index.build(titles, analyzer=analyzer, params=params)
                    if with_title_index else None)
-    store = DocStore(sentences=sentences, paragraphs=paragraphs,
-                     titles=titles, urls=urls)
+    if writer is not None:
+        store: DocStore | PackedDocStore = PackedDocStore(store_path)
+    else:
+        store = DocStore(sentences=sentences, paragraphs=paragraphs,
+                         titles=titles, urls=urls)
     return text_index, store, title_index
