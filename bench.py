@@ -286,7 +286,10 @@ def bench_retrieval(on_tpu: bool) -> dict:
     dtt = jnp.asarray(np.ascontiguousarray(index.doc_terms.T))
     dit = jnp.asarray(np.ascontiguousarray(index.doc_impacts.T))
     n_padded = index.doc_terms.shape[0]
-    doc_chunk = min(n_padded, 1 << 19)
+    # CPU (smoke/fallback): the XLA equality-einsum materializes a
+    # [Q, Lq, Ld, doc_chunk] match tensor per chunk — cap it so the
+    # smoke run stays in a few hundred MB instead of tens of GB
+    doc_chunk = min(n_padded, 1 << 19 if on_tpu else 1 << 12)
     while n_padded % doc_chunk:
         doc_chunk //= 2
 

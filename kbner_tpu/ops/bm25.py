@@ -350,14 +350,17 @@ def bm25_pruned_topk(
     imp = jnp.abs(enc) if exact_by_sign else enc
 
     # sum duplicate docs (each query term contributes <= once per doc, so
-    # duplicates per doc <= #rare terms <= max_dup_shifts)
+    # duplicates per doc <= #rare terms <= max_dup_shifts) — segmented
+    # Hillis-Steele doubling: after the step at offset s, summed[i] holds
+    # the in-run sum of imp[i .. i+2s); ceil(log2) passes over [Q, P]
+    # instead of max_dup_shifts-1 (4 vs 15 at the default 16)
     summed = imp
-    for s in range(1, max_dup_shifts):
-        if s >= P:
-            break
+    s = 1
+    while s < max_dup_shifts and s < P:
         match = doc[:, s:] == doc[:, :-s]
         summed = summed.at[:, : P - s].add(
-            jnp.where(match, imp[:, s:], 0.0))
+            jnp.where(match, summed[:, s:], 0.0))
+        s *= 2
 
     run_start = jnp.concatenate(
         [jnp.ones((Q, 1), bool), doc[:, 1:] != doc[:, :-1]], axis=1)
@@ -506,13 +509,15 @@ def bm25_pruned_topk_packed(
     imp = jnp.where(valid & (code > 0),
                     jnp.exp(imp_lo + (code - 1.0) * imp_step), 0.0)
 
+    # segmented doubling scan: ceil(log2(max_dup_shifts)) passes instead
+    # of max_dup_shifts-1 (see bm25_pruned_topk)
     summed = imp
-    for s in range(1, max_dup_shifts):
-        if s >= P:
-            break
+    s = 1
+    while s < max_dup_shifts and s < P:
         match = doc[:, s:] == doc[:, :-s]
         summed = summed.at[:, : P - s].add(
-            jnp.where(match, imp[:, s:], 0.0))
+            jnp.where(match, summed[:, s:], 0.0))
+        s *= 2
     run_start = jnp.concatenate(
         [jnp.ones((Q, 1), bool), doc[:, 1:] != doc[:, :-1]], axis=1)
     partial = jnp.where(run_start & valid, summed, -jnp.inf)

@@ -172,6 +172,39 @@ def test_pruned_topk_duplicate_summing():
     assert scores[1] == pytest.approx(1.0)
 
 
+def test_pruned_dedup_scan_long_runs():
+    """The segmented doubling dedup-sum must fully merge runs up to
+    max_dup_shifts so pass-1 selection ranks a many-duplicate doc above
+    single higher-impact entries; runs LONGER than the window truncate
+    (contract: duplicates per doc <= #rare terms <= max_dup_shifts)."""
+    P = 64
+    # doc 5: 16 duplicate entries of impact 1.0 (run sum 16); docs
+    # 10..19: one entry of impact 10. With n_candidates=2 doc 5 only
+    # survives pass 1 if its run sums to 16 > 10. A 20-long run for doc
+    # 77 (beyond the 16 window) must not crash or double-count.
+    docs = [5] * 16 + list(range(10, 20)) + [77] * 20
+    imps = [1.0] * 16 + [10.0] * 10 + [0.1] * 20
+    docs += [-1] * (P - len(docs))
+    imps += [0.0] * (P - len(imps))
+    cand_doc = jnp.asarray([docs], jnp.int32)
+    cand_imp = jnp.asarray([imps], jnp.float32)
+    N = 100
+    dterms = jnp.full((N, 1), -1, jnp.int32)
+    dimps = jnp.zeros((N, 1), jnp.float32)
+    for d, v in [(5, 3.0), (77, 0.5)] + [(d, 1.0) for d in range(10, 20)]:
+        dterms = dterms.at[d, 0].set(0)
+        dimps = dimps.at[d, 0].set(v)
+    qt = jnp.asarray([[0]], jnp.int32)
+    qw = jnp.ones((1, 1), jnp.float32)
+    scores, ids = bm25_pruned_topk(
+        cand_doc, cand_imp, ((qt, qw, dterms, dimps),),
+        n_real_docs=N, k=2, n_candidates=2, max_dup_shifts=16)
+    ids = np.asarray(ids)[0].tolist()
+    assert ids[0] == 5  # run-sum 16 beats the 10.0 singletons
+    assert ids[1] in range(10, 20)
+    assert np.asarray(scores)[0][0] == pytest.approx(3.0)
+
+
 def test_langwiki_routing(corpus_index):
     docs, index = corpus_index
     from kbner_tpu.retrieval.engine import DocStore, langwiki_search
