@@ -264,14 +264,17 @@ def bench_retrieval(on_tpu: bool) -> dict:
         ids = rng.randint(0, N_DOCS, size=Q_BATCH)
         batches.append(encode_rows(tok[ids]))
 
+    workers = int(os.environ.get("BENCH_WORKERS", "2"))
+    depth = int(os.environ.get("BENCH_DEPTH", "1"))
     # warmup (compile) on the spare batches
-    list(engine.search_stream(batches[:2], k=K))
+    list(engine.search_stream(batches[:2], k=K, workers=workers))
     # timed: the production stream — host pack + host->device transfer
     # on worker threads overlap device compute and result pulls (the
     # remote tunnel's ~30 ms round trip otherwise serializes with the
     # device work). Every batch's result IS pulled inside the window.
     t0 = time.perf_counter()
-    n_done = sum(1 for _ in engine.search_stream(batches[2:], k=K))
+    n_done = sum(1 for _ in engine.search_stream(
+        batches[2:], k=K, workers=workers, depth=depth))
     dt = (time.perf_counter() - t0) / n_done
     qps = Q_BATCH / dt
     log(f"[bench] pruned (streamed): {qps:.0f} q/s")

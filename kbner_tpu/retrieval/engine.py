@@ -830,7 +830,8 @@ class RetrievalEngine:
             q_terms, q_weights, k, title_terms, title_weights)
         return self.unpack_result(out)
 
-    def search_stream(self, batches, k: int = 10, workers: int = 2):
+    def search_stream(self, batches, k: int = 10, workers: int = 2,
+                      depth: int = 1):
         """Fully pipelined pruned search over an iterable of
         ``(q_terms, q_weights)`` batches, yielding ``(scores, ids)`` per
         batch in order.
@@ -856,8 +857,11 @@ class RetrievalEngine:
             dev = jnp.asarray(packed)  # transfer starts on the worker
             return dev, lqs, t_cols
 
+        from collections import deque
+
         it = iter(batches)
         workers = max(workers, 1)
+        depth = max(depth, 1)  # dispatched-but-unpulled device batches
         with ThreadPoolExecutor(max_workers=workers) as ex:
             futs = []
             for b in it:  # prefill to pipeline depth
@@ -866,21 +870,22 @@ class RetrievalEngine:
                     break
             if not futs:
                 return
-            pending = None
+            pending: deque = deque()
             for nxt in it:
                 futs.append(ex.submit(prep, nxt))
                 dev, lqs, t_cols = futs.pop(0).result()
-                cur = self._dispatch_packed(dev, lqs, t_cols, k, False)
-                if pending is not None:
-                    yield self.unpack_result(pending)
-                pending = cur
+                pending.append(
+                    self._dispatch_packed(dev, lqs, t_cols, k, False))
+                if len(pending) > depth:
+                    yield self.unpack_result(pending.popleft())
             while futs:
                 dev, lqs, t_cols = futs.pop(0).result()
-                cur = self._dispatch_packed(dev, lqs, t_cols, k, False)
-                if pending is not None:
-                    yield self.unpack_result(pending)
-                pending = cur
-            yield self.unpack_result(pending)
+                pending.append(
+                    self._dispatch_packed(dev, lqs, t_cols, k, False))
+                if len(pending) > depth:
+                    yield self.unpack_result(pending.popleft())
+            while pending:
+                yield self.unpack_result(pending.popleft())
 
     def _pruned_topk_fn(self, k: int, lqs: Tuple[int, ...],
                         per_term_cap: int, t_cols: int = 0):

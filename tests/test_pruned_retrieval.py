@@ -348,12 +348,14 @@ def test_search_stream_matches_batchwise(corpus_index):
     batches = [index.encode_queries(
         [docs[i] for i in rng.randint(0, len(docs), 16)])
         for _ in range(4)]
-    got = list(engine.search_stream(batches, k=5))
-    assert len(got) == 4
-    for (qt, qw), (s, i) in zip(batches, got):
-        s2, i2 = engine._search_pruned(qt, qw, 5, None, None)
-        np.testing.assert_array_equal(i, i2)
-        np.testing.assert_allclose(s, s2, rtol=1e-6)
+    for workers, depth in [(2, 1), (3, 2), (1, 4)]:
+        got = list(engine.search_stream(
+            batches, k=5, workers=workers, depth=depth))
+        assert len(got) == 4
+        for (qt, qw), (s, i) in zip(batches, got):
+            s2, i2 = engine._search_pruned(qt, qw, 5, None, None)
+            np.testing.assert_array_equal(i, i2)
+            np.testing.assert_allclose(s, s2, rtol=1e-6)
 
 
 def test_packed_kernel_matches_two_operand(corpus_index):
