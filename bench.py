@@ -42,7 +42,7 @@ SMOKE = bool(int(os.environ.get("BENCH_SMOKE", "0")))
 N_DOCS = int(os.environ.get(
     "BENCH_NDOCS", str(1 << 15 if SMOKE else 1 << 22)))
 VOCAB = 20_000 if SMOKE else 1_000_000
-Q_BATCH = int(os.environ.get("BENCH_QBATCH", "256"))
+Q_BATCH = int(os.environ.get("BENCH_QBATCH", "64" if SMOKE else "256"))
 # throughput sweet spot on v5e with the packed layouts (measured at 1M
 # docs, pipelined: 256: 5294 q/s, 512: 4801, 1024: 4036)
 K = 10
@@ -292,7 +292,7 @@ def bench_retrieval(on_tpu: bool) -> dict:
     # CPU (smoke/fallback): the XLA equality-einsum materializes a
     # [Q, Lq, Ld, doc_chunk] match tensor per chunk — cap it so the
     # smoke run stays in a few hundred MB instead of tens of GB
-    doc_chunk = min(n_padded, 1 << 19 if on_tpu else 1 << 12)
+    doc_chunk = min(n_padded, 1 << 19 if on_tpu else 1 << 11)
     while n_padded % doc_chunk:
         doc_chunk //= 2
 

@@ -1,14 +1,19 @@
 """Context reranking (reference ``tools/bert_scoring.py``).
 
 The reference optionally reranks retrieved contexts by BERTScore or
-normalized edit distance before fusion. BERTScore needs a pretrained model;
-the edit-distance reranker is self-contained and implemented here, plus a
-hook for any embedding-similarity scorer.
+normalized edit distance before fusion. Both modes are implemented:
+edit distance is self-contained; BERTScore runs natively on device from
+any token-embedding function (e.g. the framework's XLM-R encoder with
+locally imported weights) — greedy max-similarity matching of the
+`bert-score` method, batched over the k candidate contexts in ONE
+forward, instead of shelling out to the torch package.
 """
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
 
 from .engine import RetrievedDoc
 
@@ -53,6 +58,57 @@ def rerank_with_scorer(
     """Generic reranking hook: scorer(query, sentence) -> similarity.
     Plug in an embedding-similarity scorer for the BERTScore-style mode."""
     return sorted(docs, key=lambda d: -scorer(query, d.sentence))
+
+
+def bertscore_f1(q_emb, q_mask, d_emb, d_mask):
+    """Batched BERTScore-F1 of one query against K candidates.
+
+    ``q_emb`` [Lq, D], ``q_mask`` [Lq]; ``d_emb`` [K, Ld, D],
+    ``d_mask`` [K, Ld]. Returns [K] f32. Greedy matching as in the
+    BERTScore paper: recall = mean over query tokens of the best cosine
+    similarity in the candidate, precision = the transpose, F1 their
+    harmonic mean. One einsum + two masked max/mean reductions — XLA
+    fuses the lot; no per-pair python.
+    """
+    import jax.numpy as jnp
+
+    qn = q_emb / jnp.maximum(
+        jnp.linalg.norm(q_emb, axis=-1, keepdims=True), 1e-9)
+    dn = d_emb / jnp.maximum(
+        jnp.linalg.norm(d_emb, axis=-1, keepdims=True), 1e-9)
+    sim = jnp.einsum("qd,ksd->kqs", qn, dn)  # [K, Lq, Ld]
+    pair = (q_mask[None, :, None] > 0) & (d_mask[:, None, :] > 0)
+    neg = jnp.full_like(sim, -jnp.inf)
+    sim = jnp.where(pair, sim, neg)
+    qv = jnp.maximum(jnp.sum(q_mask > 0), 1)
+    dv = jnp.maximum(jnp.sum(d_mask > 0, axis=1), 1)  # [K]
+    best_q = jnp.max(sim, axis=2)  # [K, Lq] best match per query token
+    best_d = jnp.max(sim, axis=1)  # [K, Ld]
+    recall = jnp.sum(jnp.where(q_mask[None] > 0, best_q, 0.0), axis=1) / qv
+    precision = jnp.sum(jnp.where(d_mask > 0, best_d, 0.0), axis=1) / dv
+    f1 = 2 * precision * recall / jnp.maximum(precision + recall, 1e-9)
+    # a candidate with no valid tokens scores 0, not nan/-inf
+    return jnp.where(dv > 0, f1, 0.0)
+
+
+def rerank_by_bertscore(
+    encode_fn: Callable[[Sequence[str]], Tuple[np.ndarray, np.ndarray]],
+    query: str,
+    docs: Sequence[RetrievedDoc],
+) -> List[RetrievedDoc]:
+    """BERTScore reranking (``tools/bert_scoring.py`` bert mode).
+
+    ``encode_fn(texts) -> (emb [B, S, D], mask [B, S])`` — any token
+    embedder: the XLM-R encoder's hidden states, a classic embedder
+    stack, or a hash projection in tests. The query and all k contexts
+    embed in one batch; similarity and greedy matching run on device.
+    """
+    if not docs:
+        return []
+    emb, mask = encode_fn([query] + [d.sentence for d in docs])
+    f1 = np.asarray(bertscore_f1(emb[0], mask[0], emb[1:], mask[1:]))
+    order = np.argsort(-f1, kind="stable")
+    return [docs[i] for i in order]
 
 
 def split_corpus(records: Sequence, n_parts: int) -> List[List]:

@@ -12,8 +12,10 @@ from kbner_tpu.data.encode import build_char_vocab
 from kbner_tpu.models.embedders import CharLMHead
 from kbner_tpu.retrieval.engine import RetrievedDoc
 from kbner_tpu.retrieval.rerank import (
+    bertscore_f1,
     edit_distance,
     normalized_edit_similarity,
+    rerank_by_bertscore,
     rerank_by_edit_distance,
     split_corpus,
 )
@@ -48,6 +50,55 @@ def test_edit_distance_and_rerank():
     ]
     ranked = rerank_by_edit_distance("alice visited berlin", docs)
     assert ranked[0].doc_id == 1
+
+
+def test_bertscore_f1_matches_numpy_oracle():
+    rng = np.random.RandomState(0)
+    Lq, K, Ld, D = 5, 3, 7, 16
+    q = rng.randn(Lq, D).astype(np.float32)
+    d = rng.randn(K, Ld, D).astype(np.float32)
+    qm = np.array([1, 1, 1, 1, 0], np.int32)
+    dm = (rng.rand(K, Ld) > 0.3).astype(np.int32)
+    dm[:, 0] = 1
+    got = np.asarray(bertscore_f1(
+        jnp.asarray(q), jnp.asarray(qm), jnp.asarray(d), jnp.asarray(dm)))
+
+    qn = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    dn = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    for k in range(K):
+        sim = qn @ dn[k].T  # [Lq, Ld]
+        sim = sim[qm > 0][:, dm[k] > 0]
+        r = sim.max(axis=1).mean()
+        p = sim.max(axis=0).mean()
+        f1 = 2 * p * r / (p + r)
+        assert got[k] == pytest.approx(f1, rel=1e-5)
+
+
+def test_rerank_by_bertscore_prefers_match():
+    """With a deterministic hash-projection token embedder, the context
+    sharing the query's tokens must outrank disjoint contexts."""
+    rng = np.random.RandomState(1)
+    proj = rng.randn(997, 24).astype(np.float32)
+
+    def encode(texts):
+        S = max(len(t.split()) for t in texts)
+        emb = np.zeros((len(texts), S, 24), np.float32)
+        mask = np.zeros((len(texts), S), np.int32)
+        for i, t in enumerate(texts):
+            for j, w in enumerate(t.split()):
+                emb[i, j] = proj[hash(w) % 997]
+                mask[i, j] = 1
+        return jnp.asarray(emb), jnp.asarray(mask)
+
+    docs = [
+        RetrievedDoc(doc_id=0, score=9.0, sentence="unrelated words entirely"),
+        RetrievedDoc(doc_id=1, score=1.0,
+                     sentence="alice visited berlin yesterday"),
+        RetrievedDoc(doc_id=2, score=5.0, sentence="other nonsense string"),
+    ]
+    ranked = rerank_by_bertscore(encode, "alice visited berlin", docs)
+    assert ranked[0].doc_id == 1
+    assert rerank_by_bertscore(encode, "q", []) == []
 
 
 def test_split_corpus():
