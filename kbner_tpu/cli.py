@@ -664,6 +664,10 @@ def cmd_retrieve(args):
     )
 
     _setup_logging(None)
+    if getattr(args, "rerank", None) == "bertscore" and not args.model_config:
+        raise SystemExit(
+            "--rerank bertscore needs --model_config (the encoder "
+            "supplying the token embeddings)")
     text_index, store, title_index = build_kb_from_jsonl(
         args.kb, lang=args.lang,
         store_path=getattr(args, "store", None),
@@ -697,7 +701,8 @@ def cmd_retrieve(args):
     # (train keeps gold entities, generate_data.py's --with_entity split
     # behavior)
     predictor = None
-    if args.with_entity and args.model_config:
+    if args.model_config and (
+            args.with_entity or getattr(args, "rerank", None) == "bertscore"):
         from .config import ExperimentConfig
         from .retrieval.fusion import extract_entities
         from .data.conll import SentenceRecord
@@ -734,6 +739,24 @@ def cmd_retrieve(args):
         results = retrieve_for_records(
             engine, records, k=args.k, lang=args.lang,
             with_entity=args.with_entity, entities=entities)
+        if getattr(args, "rerank", None):
+            from .retrieval.pipeline import sentence_query
+            from .retrieval.rerank import (rerank_by_bertscore,
+                                           rerank_by_edit_distance)
+
+            if args.rerank == "edit":
+                results = [rerank_by_edit_distance(
+                    sentence_query(r, args.lang), docs)
+                    for r, docs in zip(records, results)]
+            else:  # bertscore (tools/bert_scoring.py bert mode)
+                if predictor is None:
+                    raise SystemExit(
+                        "--rerank bertscore needs --model_config (the "
+                        "encoder supplying the token embeddings)")
+                results = [rerank_by_bertscore(
+                    predictor.embed_texts, sentence_query(r, args.lang),
+                    docs) for r, docs in zip(records, results)]
+            logging.info("%s: reranked contexts by %s", split, args.rerank)
         write_retrieval_file(
             out_dir / f"{split}.retrieval.tsv", records, results, args.lang)
         fused = fuse_contexts(
@@ -979,6 +1002,11 @@ def main(argv=None):
     sp.add_argument("--tokenizer_config",
                     help="experiment config whose tokenizer: block "
                          "measures the fusion budget")
+    sp.add_argument("--rerank", default=None,
+                    choices=("edit", "bertscore"),
+                    help="rerank retrieved contexts before fusion "
+                         "(tools/bert_scoring.py modes); bertscore uses "
+                         "--model_config's encoder for token embeddings")
     sp.add_argument("--store", default=None,
                     help="write/mmap doc payloads as a PackedDocStore file "
                          "instead of holding paragraphs in RAM")

@@ -460,6 +460,42 @@ class FinetuneTrainer:
                 results[rec_index[id(rec)]] = out
         return [results[i] for i in range(len(records))]
 
+    def embed_texts(self, texts: Sequence[str], batch_size: int = 64):
+        """Word-level encoder features for raw whitespace-tokenized texts:
+        ``(emb [B, W, H] np.float32, mask [B, W] np.int32)`` in input
+        order. The embedding source for BERTScore context reranking
+        (``retrieval/rerank.py::rerank_by_bertscore``)."""
+        recs = [SentenceRecord(tokens=t.split() or ["."],
+                               tags={self.tag_layer: []})
+                for t in texts]
+        for r in recs:
+            r.tags[self.tag_layer] = ["O"] * len(r.tokens)
+        order_batches = make_batches(
+            recs, self.tokenizer, None, batch_size,
+            shuffle=False, sort_by_length=True, tag_layer=self.tag_layer)
+        rec_index = {id(r): i for i, r in enumerate(recs)}
+        feats_by_i: Dict[int, np.ndarray] = {}
+        mask_by_i: Dict[int, np.ndarray] = {}
+        extract = type(self.model)._extract_features
+        for eb in order_batches:
+            arrays = self._to_device(eb)
+            f = np.asarray(self.model.apply(
+                self.params, arrays, True, method=extract))
+            for b, rec in enumerate(eb.records):
+                i = rec_index[id(rec)]
+                n = int(eb.word_mask[b].sum())
+                feats_by_i[i] = f[b, :n]
+                mask_by_i[i] = np.asarray(eb.word_mask[b, :n])
+        W = max(int(v.shape[0]) for v in feats_by_i.values())
+        H = next(iter(feats_by_i.values())).shape[1]
+        emb = np.zeros((len(recs), W, H), np.float32)
+        mask = np.zeros((len(recs), W), np.int32)
+        for i in range(len(recs)):
+            n = feats_by_i[i].shape[0]
+            emb[i, :n] = feats_by_i[i]
+            mask[i, :n] = mask_by_i[i]
+        return emb, mask
+
     def evaluate(
         self,
         records: Sequence[SentenceRecord],
