@@ -268,6 +268,32 @@ def bench_retrieval(on_tpu: bool) -> dict:
     depth = int(os.environ.get("BENCH_DEPTH", "1"))
     # warmup (compile) on the spare batches
     list(engine.search_stream(batches[:2], k=K, workers=workers))
+
+    if os.environ.get("BENCH_PROFILE"):
+        # per-stage decomposition on ONE batch, un-pipelined, so the sweep
+        # can see which stage binds: host pack / upload / device compute
+        # (dispatch..ready) / result pull
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        qt0p, qw0p = batches[2]
+        for tag in ("cold", "warm"):
+            t0 = time.perf_counter()
+            packed, lqs, t_cols = engine._pack_queries(qt0p, qw0p, ())
+            t1 = time.perf_counter()
+            dev = _jnp.asarray(packed)
+            dev.block_until_ready()
+            t2 = time.perf_counter()
+            res = engine._dispatch_packed(dev, lqs, t_cols, K, False)
+            _jax.block_until_ready(res)
+            t3 = time.perf_counter()
+            out = engine.unpack_result(res)
+            float(np.asarray(out[0])[0, 0])
+            t4 = time.perf_counter()
+            log(f"[bench] profile({tag}): pack {1e3 * (t1 - t0):.1f} ms, "
+                f"upload {1e3 * (t2 - t1):.1f} ms, "
+                f"compute {1e3 * (t3 - t2):.1f} ms, "
+                f"pull {1e3 * (t4 - t3):.1f} ms")
     # timed: the production stream — host pack + host->device transfer
     # on worker threads overlap device compute and result pulls (the
     # remote tunnel's ~30 ms round trip otherwise serializes with the
