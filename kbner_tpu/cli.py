@@ -758,7 +758,8 @@ def cmd_retrieve(args):
                     docs) for r, docs in zip(records, results)]
             logging.info("%s: reranked contexts by %s", split, args.rerank)
         write_retrieval_file(
-            out_dir / f"{split}.retrieval.tsv", records, results, args.lang)
+            out_dir / f"{split}.retrieval.tsv", records, results, args.lang,
+            entities=entities)
         fused = fuse_contexts(
             records, results, tokenizer, mode=args.mode,
             drop_over_budget_train=(split == "train"))

@@ -26,7 +26,7 @@ ES ``standard`` applies no stopword removal by default, so neither do we.
 from __future__ import annotations
 
 import unicodedata
-from typing import List
+from typing import List, Tuple
 
 # -- UAX#29 Word_Break classes (the subset relevant to the KB's languages) --
 
@@ -94,21 +94,32 @@ def _wb_class(ch: str) -> int:
     return _OTHER
 
 
-def standard_analyze(text: str) -> List[str]:
-    """Lucene standard-analyzer tokenization + lowercasing (see module
-    docstring for the UAX#29 rules implemented)."""
-    tokens: List[str] = []
+def analyze_with_offsets(text: str) -> List[Tuple[str, int, int]]:
+    """Lucene standard-analyzer tokenization + lowercasing, with
+    ``(token, start, end)`` character offsets into the original text
+    (the offsets ES highlighting wraps its ``<hit>`` tags around). See
+    module docstring for the UAX#29 rules implemented."""
+    tokens: List[Tuple[str, int, int]] = []
     cur: List[str] = []
+    cur_start = 0          # offset of the current token's first char
+    cur_end = 0            # offset AFTER its last appended char
     prev_cls = _OTHER      # class of the last base char of the current token
     has_core = False       # current token contains a non-ENL word char
 
     def flush() -> None:
         nonlocal cur, prev_cls, has_core
         if cur and has_core:
-            tokens.append("".join(cur).lower())
+            tokens.append(("".join(cur).lower(), cur_start, cur_end))
         cur = []
         prev_cls = _OTHER
         has_core = False
+
+    def push(ch: str, i: int) -> None:
+        nonlocal cur_start, cur_end
+        if not cur:
+            cur_start = i
+        cur.append(ch)
+        cur_end = i + 1
 
     n = len(text)
     i = 0
@@ -118,19 +129,19 @@ def standard_analyze(text: str) -> List[str]:
         if c == _EXTEND:
             # WB4: combining/format chars attach, don't change the class
             if cur:
-                cur.append(ch)
+                push(ch, i)
             i += 1
             continue
         if c in (_HAN, _HIRAGANA):
             # Lucene's grammar: ideographic / hiragana single-char tokens
             flush()
-            tokens.append(ch)
+            tokens.append((ch, i, i + 1))
             i += 1
             continue
         if c in _WORD_CLASSES:
             if cur and (prev_cls, c) not in _JOINS:
                 flush()
-            cur.append(ch)
+            push(ch, i)
             prev_cls = c
             has_core = has_core or c != _ENL
             i += 1
@@ -147,7 +158,7 @@ def standard_analyze(text: str) -> List[str]:
             numeric_join = (prev_cls == _NUMERIC and nxt == _NUMERIC
                             and c in (_MID_NUM, _MID_NUMLET, _SQ))
             if letter_join or numeric_join:
-                cur.append(ch)  # prev_cls stays the base class
+                push(ch, i)  # prev_cls stays the base class
                 i += 1
                 continue
             flush()
@@ -157,6 +168,36 @@ def standard_analyze(text: str) -> List[str]:
         i += 1
     flush()
     return tokens
+
+
+def standard_analyze(text: str) -> List[str]:
+    """Lucene standard-analyzer tokenization + lowercasing (see module
+    docstring for the UAX#29 rules implemented)."""
+    return [t for t, _, _ in analyze_with_offsets(text)]
+
+
+def highlight_hits(text: str, query_terms, pre: str = "<hit>",
+                   post: str = "</hit>") -> str:
+    """ES-style highlight fragment: every analyzer token of ``text``
+    whose form is in ``query_terms`` is wrapped in ``pre``/``post`` tags
+    (``generate_data.py:43-51``'s highlight block). Returns "" when
+    nothing matches — the reference writes the empty fragment then
+    (``h['highlight']['text'] if 'text' in h['highlight'] else ['']``)."""
+    terms = {t.lower() for t in query_terms}
+    spans = [(s, e) for tok, s, e in analyze_with_offsets(text)
+             if tok in terms]
+    if not spans:
+        return ""
+    out: List[str] = []
+    last = 0
+    for s, e in spans:
+        out.append(text[last:s])
+        out.append(pre)
+        out.append(text[s:e])
+        out.append(post)
+        last = e
+    out.append(text[last:])
+    return "".join(out)
 
 
 def _is_cjk_single(tok: str) -> bool:

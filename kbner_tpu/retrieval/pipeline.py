@@ -89,14 +89,30 @@ def write_retrieval_file(
     records: Sequence[SentenceRecord],
     results: Sequence[Sequence[RetrievedDoc]],
     lang: str = "en",
+    entities: Optional[Sequence[Sequence[str]]] = None,
 ) -> None:
+    """Reference retrieval-file format, including the highlight column:
+    ES wraps matched terms in ``<hit>`` tags per field and the reference
+    stores ``text_fragment ---#--- title_fragment``
+    (``generate_data.py:43-51,141``). The text fragment highlights the
+    sentence query's terms; the title fragment highlights the entity
+    clause's terms (v4 ``--with_entity``), so it is empty for plain
+    sentence retrieval exactly as ES omits unmatched-field highlights."""
+    from .analyzer import highlight_hits, standard_analyze
+
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     with open(path, "w", encoding="utf-8") as f:
-        for rec, docs in zip(records, results):
-            f.write(sentence_query(rec, lang) + "\n")
+        for i, (rec, docs) in enumerate(zip(records, results)):
+            query = sentence_query(rec, lang)
+            f.write(query + "\n")
+            q_terms = set(standard_analyze(query))
+            ent_terms = (set(standard_analyze(" ".join(entities[i])))
+                         if entities is not None and i < len(entities)
+                         else set())
             for d in docs:
-                hits = ""  # highlight reconstruction is optional output
+                hits = (highlight_hits(d.sentence, q_terms) + " ---#--- "
+                        + highlight_hits(d.title, ent_terms))
                 f.write(
                     f"{d.sentence}\t{d.paragraph}\t{d.title}\t"
                     f"{d.score:.6f}\t{d.url}\t{hits}\n")

@@ -59,6 +59,50 @@ def test_cjk_analyze_bigrams():
     assert "北" in toks and "北京" in toks and "京大" in toks
 
 
+def test_analyze_with_offsets_roundtrip():
+    from kbner_tpu.retrieval.analyzer import analyze_with_offsets
+
+    text = "Hello, World! It's 42 in 北京 today."
+    triples = analyze_with_offsets(text)
+    # tokens agree with standard_analyze, offsets slice the source text
+    assert [t for t, _, _ in triples] == standard_analyze(text)
+    for tok, s, e in triples:
+        assert text[s:e].lower() == tok
+
+
+def test_highlight_hits_format():
+    from kbner_tpu.retrieval.analyzer import highlight_hits
+
+    out = highlight_hits("The Beatles played in Hamburg.",
+                         {"beatles", "hamburg"})
+    assert out == "The <hit>Beatles</hit> played in <hit>Hamburg</hit>."
+    # no match -> empty fragment, the ES-omitted-field convention
+    assert highlight_hits("nothing here", {"zzz"}) == ""
+
+
+def test_write_retrieval_file_hits_column(tmp_path):
+    from kbner_tpu.data.conll import SentenceRecord
+    from kbner_tpu.retrieval.engine import RetrievedDoc
+    from kbner_tpu.retrieval.pipeline import (read_retrieval_file,
+                                              write_retrieval_file)
+
+    recs = [SentenceRecord(tokens=["alice", "visited", "berlin"],
+                           tags={"ner": ["O", "O", "O"]})]
+    docs = [[RetrievedDoc(doc_id=0, score=1.5,
+                          sentence="Alice lives near Berlin",
+                          paragraph="p", title="Berlin City",
+                          url="u")]]
+    p = tmp_path / "r.tsv"
+    write_retrieval_file(p, recs, docs, entities=[["berlin"]])
+    line = [ln for ln in p.read_text().splitlines() if "\t" in ln][0]
+    hits = line.split("\t")[5]
+    assert hits == ("<hit>Alice</hit> lives near <hit>Berlin</hit>"
+                    " ---#--- <hit>Berlin</hit> City")
+    # interop: the parser still reads the file back
+    parsed = read_retrieval_file(p)
+    assert list(parsed.values())[0][0].title == "Berlin City"
+
+
 def test_norm_quantization_monotone_and_lossy():
     lengths = [0, 1, 5, 7, 8, 13, 100, 1000, 12345]
     q = [quantize_doc_length(x) for x in lengths]
