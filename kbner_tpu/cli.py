@@ -760,6 +760,14 @@ def cmd_retrieve(args):
         write_retrieval_file(
             out_dir / f"{split}.retrieval.tsv", records, results, args.lang,
             entities=entities)
+        if getattr(args, "distant_out", None) and split == "train":
+            from .retrieval.distant import distant_supervision
+
+            silver = distant_supervision(records, results)
+            write_column_file(Path(args.distant_out), silver,
+                              layers=("ner",))
+            logging.info("distant supervision: %d silver sentences -> %s",
+                         len(silver), args.distant_out)
         fused = fuse_contexts(
             records, results, tokenizer, mode=args.mode,
             drop_over_budget_train=(split == "train"))
@@ -1003,6 +1011,10 @@ def main(argv=None):
     sp.add_argument("--tokenizer_config",
                     help="experiment config whose tokenizer: block "
                          "measures the fusion budget")
+    sp.add_argument("--distant_out", default=None,
+                    help="also write a silver corpus: gold entity spans "
+                         "projected onto retrieved contexts, B-X padding "
+                         "(context_process.py unlabeled_assignment)")
     sp.add_argument("--rerank", default=None,
                     choices=("edit", "bertscore"),
                     help="rerank retrieved contexts before fusion "
