@@ -423,15 +423,21 @@ def main():
     if os.environ.get("BENCH_TPU_FALLBACK"):
         backend += " (TPU TUNNEL UNREACHABLE — CPU fallback numbers)"
 
-    quality = bench_quality_gate()
-    log(f"[bench] quality gate train_f1: {quality['train_f1']}")
-    train = bench_train_step(on_tpu)
-    log(f"[bench] train step: {train['train_step_ms']} ms "
-        f"({train['train_subtok_per_s']} subtok/s)")
+    # sweep mode: skip the train/quality stages to iterate on retrieval
+    # knobs quickly; the recorded BENCH_r* run uses the full bench
+    if os.environ.get("BENCH_RETRIEVAL_ONLY"):
+        quality = {}
+        train = {}
+    else:
+        quality = bench_quality_gate()
+        log(f"[bench] quality gate train_f1: {quality['train_f1']}")
+        train = bench_train_step(on_tpu)
+        log(f"[bench] train step: {train['train_step_ms']} ms "
+            f"({train['train_subtok_per_s']} subtok/s)")
     ret = bench_retrieval(on_tpu)
 
     qps = ret.pop("qps")
-    extra = {**ret, **train, "backend": backend}
+    extra = {**ret, **train, **quality, "backend": backend}
     print(json.dumps({
         "metric": "bm25_pruned_retrieval_throughput",
         "value": round(qps, 1),
