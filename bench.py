@@ -384,12 +384,15 @@ def bench_quality_gate() -> dict:
 
 def _resolve_backend(timeout_s: Optional[float] = None) -> str:
     """``jax.default_backend()`` with a liveness bound. The axon site hook
-    initializes the TPU-tunnel backend inside the first backend probe and
-    BLOCKS FOREVER in ``make_c_api_client`` if the tunnel is down — even
-    under ``JAX_PLATFORMS=cpu``. Probe in a daemon thread; on timeout,
-    re-exec this process with the tunnel marker stripped so the bench
-    still completes (on CPU, flagged in the output) instead of hanging
-    the driver."""
+    overrides the ``JAX_PLATFORMS`` env var at import and initializes the
+    TPU-tunnel backend inside the first backend probe, BLOCKING FOREVER
+    in ``make_c_api_client`` if the tunnel is down (only
+    ``jax.config.update("jax_platforms", "cpu")`` before the first probe
+    avoids it — see ``__graft_entry__._bootstrap_virtual_devices``; the
+    bench WANTS the TPU, so it must probe). Probe in a daemon thread; on
+    timeout, re-exec this process with the tunnel marker stripped so the
+    bench still completes (on CPU, flagged in the output) instead of
+    hanging the driver."""
     import threading
 
     if timeout_s is None:

@@ -739,23 +739,46 @@ def cmd_retrieve(args):
         results = retrieve_for_records(
             engine, records, k=args.k, lang=args.lang,
             with_entity=args.with_entity, entities=entities)
+        if args.with_entity and entities is None:
+            # gold-entity fallback (the train-split / no-model path used
+            # inside retrieve_for_records) — recompute for the highlight
+            # column so title <hit> fragments match what was queried
+            from .retrieval.fusion import extract_entities
+
+            entities = [extract_entities(r) for r in records]
         if getattr(args, "rerank", None):
+            import numpy as np
+
             from .retrieval.pipeline import sentence_query
-            from .retrieval.rerank import (rerank_by_bertscore,
-                                           rerank_by_edit_distance)
+            from .retrieval.rerank import bertscore_f1, rerank_by_edit_distance
 
             if args.rerank == "edit":
                 results = [rerank_by_edit_distance(
                     sentence_query(r, args.lang), docs)
                     for r, docs in zip(records, results)]
-            else:  # bertscore (tools/bert_scoring.py bert mode)
-                if predictor is None:
-                    raise SystemExit(
-                        "--rerank bertscore needs --model_config (the "
-                        "encoder supplying the token embeddings)")
-                results = [rerank_by_bertscore(
-                    predictor.embed_texts, sentence_query(r, args.lang),
-                    docs) for r, docs in zip(records, results)]
+            else:  # bertscore (tools/bert_scoring.py bert mode) —
+                # embed EVERY query + context of the split in one
+                # batched pass, then score per sentence (per-record
+                # dispatches would pay the device round trip N times)
+                texts: list = []
+                spans = []
+                for r, docs in zip(records, results):
+                    spans.append((len(texts), len(docs)))
+                    texts.append(sentence_query(r, args.lang))
+                    texts.extend(d.sentence for d in docs)
+                emb, mask = predictor.embed_texts(texts)
+                reranked = []
+                for (start, ndocs), docs in zip(spans, results):
+                    if not ndocs:
+                        reranked.append(list(docs))
+                        continue
+                    f1 = np.asarray(bertscore_f1(
+                        emb[start], mask[start],
+                        emb[start + 1:start + 1 + ndocs],
+                        mask[start + 1:start + 1 + ndocs]))
+                    order = np.argsort(-f1, kind="stable")
+                    reranked.append([docs[i] for i in order])
+                results = reranked
             logging.info("%s: reranked contexts by %s", split, args.rerank)
         write_retrieval_file(
             out_dir / f"{split}.retrieval.tsv", records, results, args.lang,

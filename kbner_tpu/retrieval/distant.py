@@ -45,15 +45,10 @@ def match_entity_count(entities: Iterable[str], context: str) -> int:
     score = 0
     for entity in entities:
         e = entity.lower()
-        if not e or e not in context:
-            continue
-        start = 0
-        while True:
-            pos = context.find(e, start)
-            if pos < 0:
-                break
-            score += 1
-            start = pos + 1
+        if e:
+            # non-overlapping occurrences — re.finditer semantics of the
+            # reference's counter
+            score += context.count(e)
     return score
 
 

@@ -97,17 +97,20 @@ def write_retrieval_file(
     (``generate_data.py:43-51,141``). The text fragment highlights the
     sentence query's terms; the title fragment highlights the entity
     clause's terms (v4 ``--with_entity``), so it is empty for plain
-    sentence retrieval exactly as ES omits unmatched-field highlights."""
-    from .analyzer import highlight_hits, standard_analyze
+    sentence retrieval exactly as ES omits unmatched-field highlights.
+    Term sets come from the language's own index analyzer (zh's cjk set
+    includes single chars, so UAX#29 offset tokens still match)."""
+    from .analyzer import get_analyzer, highlight_hits
 
+    analyze = get_analyzer(lang)
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     with open(path, "w", encoding="utf-8") as f:
         for i, (rec, docs) in enumerate(zip(records, results)):
             query = sentence_query(rec, lang)
             f.write(query + "\n")
-            q_terms = set(standard_analyze(query))
-            ent_terms = (set(standard_analyze(" ".join(entities[i])))
+            q_terms = set(analyze(query))
+            ent_terms = (set(analyze(" ".join(entities[i])))
                          if entities is not None and i < len(entities)
                          else set())
             for d in docs:

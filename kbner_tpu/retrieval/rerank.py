@@ -80,15 +80,20 @@ def bertscore_f1(q_emb, q_mask, d_emb, d_mask):
     pair = (q_mask[None, :, None] > 0) & (d_mask[:, None, :] > 0)
     neg = jnp.full_like(sim, -jnp.inf)
     sim = jnp.where(pair, sim, neg)
-    qv = jnp.maximum(jnp.sum(q_mask > 0), 1)
-    dv = jnp.maximum(jnp.sum(d_mask > 0, axis=1), 1)  # [K]
+    n_q = jnp.sum(q_mask > 0)
+    n_d = jnp.sum(d_mask > 0, axis=1)  # [K]
     best_q = jnp.max(sim, axis=2)  # [K, Lq] best match per query token
     best_d = jnp.max(sim, axis=1)  # [K, Ld]
-    recall = jnp.sum(jnp.where(q_mask[None] > 0, best_q, 0.0), axis=1) / qv
-    precision = jnp.sum(jnp.where(d_mask > 0, best_d, 0.0), axis=1) / dv
+    recall = jnp.sum(jnp.where(q_mask[None] > 0, best_q, 0.0),
+                     axis=1) / jnp.maximum(n_q, 1)
+    precision = jnp.sum(jnp.where(d_mask > 0, best_d, 0.0),
+                        axis=1) / jnp.maximum(n_d, 1)
     f1 = 2 * precision * recall / jnp.maximum(precision + recall, 1e-9)
-    # a candidate with no valid tokens scores 0, not nan/-inf
-    return jnp.where(dv > 0, f1, 0.0)
+    # a pair with no valid tokens on either side scores 0, not nan/-inf
+    # (the -inf masked sim never reaches the sums: its side's best_* is
+    # only added where the OWN mask is live, so the guard below is the
+    # single place empty rows are decided)
+    return jnp.where((n_d > 0) & (n_q > 0), f1, 0.0)
 
 
 def rerank_by_bertscore(

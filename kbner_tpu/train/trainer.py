@@ -465,6 +465,9 @@ class FinetuneTrainer:
         ``(emb [B, W, H] np.float32, mask [B, W] np.int32)`` in input
         order. The embedding source for BERTScore context reranking
         (``retrieval/rerank.py::rerank_by_bertscore``)."""
+        if not texts:
+            return (np.zeros((0, 0, 0), np.float32),
+                    np.zeros((0, 0), np.int32))
         recs = [SentenceRecord(tokens=t.split() or ["."],
                                tags={self.tag_layer: []})
                 for t in texts]

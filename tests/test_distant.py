@@ -11,10 +11,9 @@ from kbner_tpu.retrieval.engine import RetrievedDoc
 def test_match_entity_count():
     assert match_entity_count(
         ["berlin"], "Berlin is big. I love berlin.") == 2
-    # overlapping occurrences count (regex finditer semantics use
-    # non-overlapping, but start+1 scanning is a superset only for
-    # self-overlapping strings; plain words behave identically)
     assert match_entity_count(["x y"], "x y z x y") == 2
+    # non-overlapping counting (the reference's re.finditer semantics)
+    assert match_entity_count(["aa"], "aaaa") == 2
     assert match_entity_count([""], "anything") == 0
     assert match_entity_count(["zz"], "nothing") == 0
 
