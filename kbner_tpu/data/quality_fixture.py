@@ -125,3 +125,108 @@ def run_quality_gate(
             batch_size=batch_size, max_epochs=max_epochs, seed=seed))
         metric, _ = trainer.evaluate(corpus.test_list[0])
     return metric.micro_avg_f_score()
+
+
+# -- parser-family gate ---------------------------------------------------------
+
+_P_NOUNS = [f"noun{i}" for i in range(25)]
+_P_VERBS = [f"verb{i}" for i in range(15)]
+_P_ADJS = [f"adj{i}" for i in range(15)]
+_P_DETS = ["the", "a", "this", "every"]
+_P_PREPS = ["in", "near", "under"]
+
+# (role sequence, 1-based head per position, deprel per position): the
+# attachment structure is a deterministic function of the word-class
+# sequence, so UAS on held-out sentences measures whether the biaffine
+# parser learned class structure, not sentence memorization
+_P_TEMPLATES = [
+    (["DET", "NOUN", "VERB", "DET", "NOUN"],
+     [2, 3, 0, 5, 3],
+     ["det", "nsubj", "root", "det", "obj"]),
+    (["NOUN", "VERB", "DET", "NOUN"],
+     [2, 0, 4, 2],
+     ["nsubj", "root", "det", "obj"]),
+    (["DET", "ADJ", "NOUN", "VERB"],
+     [3, 3, 4, 0],
+     ["det", "amod", "nsubj", "root"]),
+    (["DET", "NOUN", "VERB", "PREP", "DET", "NOUN"],
+     [2, 3, 0, 6, 6, 3],
+     ["det", "nsubj", "root", "case", "det", "obl"]),
+    (["NOUN", "VERB", "ADJ", "NOUN"],
+     [2, 0, 4, 2],
+     ["nsubj", "root", "amod", "obj"]),
+]
+
+_P_VOCABS = {"NOUN": _P_NOUNS, "VERB": _P_VERBS, "ADJ": _P_ADJS,
+             "DET": _P_DETS, "PREP": _P_PREPS}
+
+
+def make_parser_quality_corpus(
+    n_train: int = 240,
+    n_dev: int = 48,
+    n_test: int = 96,
+    seed: int = 0,
+) -> ListCorpus:
+    """Learnable pattern treebank: heads/deprels are determined by the
+    word-class sequence; word classes have disjoint vocabularies."""
+    rng = np.random.RandomState(seed)
+
+    def gen(n: int) -> List[SentenceRecord]:
+        records = []
+        for _ in range(n):
+            roles, heads, rels = _P_TEMPLATES[rng.randint(len(_P_TEMPLATES))]
+            toks = [_P_VOCABS[r][rng.randint(len(_P_VOCABS[r]))]
+                    for r in roles]
+            records.append(SentenceRecord(
+                tokens=toks,
+                tags={"head": [str(h) for h in heads],
+                      "deprel": list(rels)}))
+        return records
+
+    return ListCorpus([Corpus(train=gen(n_train), dev=gen(n_dev),
+                              test=gen(n_test), name="QUALITY-DEP")])
+
+
+def run_parser_quality_gate(
+    max_epochs: int = 30,
+    batch_size: int = 16,
+    learning_rate: float = 1e-3,
+    seed: int = 0,
+) -> float:
+    """Train the tiny biaffine parser on the pattern treebank; return
+    held-out UAS. A healthy parser trainer reaches >= 0.9 (asserted in
+    tests and reported as ``train_uas`` in bench.py)."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.biaffine import (BiaffineConfig, BiaffineParser,
+                                   encode_dependency_arrays)
+    from ..models.xlmr import XLMRConfig
+    from ..train import TrainConfig
+    from ..train import parser_trainer as pt
+    from .encode import encode_batch
+    from .subword import HashTokenizer
+
+    corpus = make_parser_quality_corpus(seed=seed)
+    tokenizer = HashTokenizer(vocab_size=4099)
+    rel_dict = pt.build_rel_dictionary(corpus.train)
+    model = BiaffineParser(BiaffineConfig(
+        encoder=XLMRConfig.tiny(vocab_size=4099),
+        num_rels=max(len(rel_dict), 1), arc_dim=32, rel_dim=16,
+        dropout=0.0))
+    eb = encode_batch(corpus.train[:2], tokenizer, None)
+    encode_dependency_arrays(eb, rel_dict=rel_dict)
+    params = model.init(
+        {"params": jax.random.PRNGKey(seed)},
+        {k: jnp.asarray(v) for k, v in eb.arrays().items()},
+        method=model.loss)
+    trainer = pt.ParserTrainer(
+        model, params, corpus, tokenizer, rel_dict)
+    with tempfile.TemporaryDirectory() as tmp:
+        trainer.train(tmp, TrainConfig(
+            learning_rate=learning_rate, lr_rate=1.0,
+            batch_size=batch_size, max_epochs=max_epochs, seed=seed))
+        scores = trainer.evaluate(corpus.test_list[0])
+    return scores["uas"]

@@ -37,3 +37,26 @@ def test_trained_f1_gate():
     quality regressions that compile-and-run tests cannot."""
     f1 = run_quality_gate()
     assert f1 >= 0.95, f"quality gate failed: held-out span F1 {f1:.4f}"
+
+
+def test_parser_quality_corpus_structure():
+    from kbner_tpu.data.quality_fixture import make_parser_quality_corpus
+
+    a = make_parser_quality_corpus(seed=5)
+    b = make_parser_quality_corpus(seed=5)
+    assert [r.tokens for r in a.train] == [r.tokens for r in b.train]
+    for rec in a.train:
+        heads = [int(h) for h in rec.tags["head"]]
+        assert len(heads) == len(rec.tokens) == len(rec.tags["deprel"])
+        assert heads.count(0) == 1  # exactly one root
+        for i, h in enumerate(heads, start=1):
+            assert 0 <= h <= len(heads) and h != i  # in range, no self-arc
+
+
+def test_trained_uas_gate():
+    """Held-out UAS >= 0.9 on the pattern treebank — the parser-family
+    'does it learn' gate (biaffine arcs + rels + decode + MST repair)."""
+    from kbner_tpu.data.quality_fixture import run_parser_quality_gate
+
+    uas = run_parser_quality_gate()
+    assert uas >= 0.9, f"parser quality gate failed: held-out UAS {uas:.4f}"
