@@ -376,17 +376,20 @@ def bench_quality_gate() -> dict:
              # on host CPU even when the parent benches the TPU
              "import jax; jax.config.update('jax_platforms', 'cpu');"
              "from kbner_tpu.data.quality_fixture import ("
-             "run_quality_gate, run_parser_quality_gate);"
-             "print(run_quality_gate(), run_parser_quality_gate())"],
+             "run_quality_gate, run_parser_quality_gate,"
+             "run_classifier_quality_gate);"
+             "print(run_quality_gate(), run_parser_quality_gate(),"
+             "      run_classifier_quality_gate())"],
             env={**os.environ, "JAX_PLATFORMS": "cpu"},
             capture_output=True, text=True, timeout=1200, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)))
-        f1, uas = out.stdout.strip().split()[-2:]
+        f1, uas, acc = out.stdout.strip().split()[-3:]
         return {"train_f1": round(float(f1), 4),
-                "train_uas": round(float(uas), 4)}
+                "train_uas": round(float(uas), 4),
+                "train_clf_acc": round(float(acc), 4)}
     except Exception as e:  # report the failure, don't hide it
         log(f"[bench] quality gate FAILED: {e}")
-        return {"train_f1": -1.0, "train_uas": -1.0}
+        return {"train_f1": -1.0, "train_uas": -1.0, "train_clf_acc": -1.0}
 
 
 def _resolve_backend(timeout_s: Optional[float] = None) -> str:

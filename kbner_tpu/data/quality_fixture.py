@@ -230,3 +230,87 @@ def run_parser_quality_gate(
             batch_size=batch_size, max_epochs=max_epochs, seed=seed))
         scores = trainer.evaluate(corpus.test_list[0])
     return scores["uas"]
+
+
+# -- classification-family gate -------------------------------------------------
+
+_C_TOPICS = {
+    "sports": [f"sportword{i}" for i in range(20)],
+    "finance": [f"finword{i}" for i in range(20)],
+    "science": [f"sciword{i}" for i in range(20)],
+}
+_C_FILLER = [f"filler{i}" for i in range(30)]
+
+
+def make_classifier_quality_corpus(
+    n_train: int = 180,
+    n_dev: int = 36,
+    n_test: int = 72,
+    seed: int = 0,
+) -> ListCorpus:
+    """Learnable text-classification corpus: each document mixes filler
+    with words from exactly one topic's disjoint vocabulary."""
+    rng = np.random.RandomState(seed)
+    topics = sorted(_C_TOPICS)
+
+    def gen(n: int) -> List[SentenceRecord]:
+        records = []
+        for _ in range(n):
+            topic = topics[rng.randint(len(topics))]
+            vocab = _C_TOPICS[topic]
+            toks = []
+            for _ in range(6 + rng.randint(6)):
+                src = vocab if rng.rand() < 0.5 else _C_FILLER
+                toks.append(src[rng.randint(len(src))])
+            if not any(t in vocab for t in toks):
+                toks[0] = vocab[rng.randint(len(vocab))]
+            rec = SentenceRecord(tokens=toks, tags={})
+            rec.labels = [topic]
+            records.append(rec)
+        return records
+
+    return ListCorpus([Corpus(train=gen(n_train), dev=gen(n_dev),
+                              test=gen(n_test), name="QUALITY-CLF")])
+
+
+def run_classifier_quality_gate(
+    max_epochs: int = 20,
+    batch_size: int = 16,
+    learning_rate: float = 1e-3,
+    seed: int = 0,
+) -> float:
+    """Train the tiny CLS-pooled classifier on the topic corpus; return
+    held-out accuracy. A healthy classification trainer reaches >= 0.95."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.classifier import (TextClassifier, TextClassifierConfig,
+                                     build_label_dictionary, encode_labels)
+    from ..models.xlmr import XLMRConfig
+    from ..train import TrainConfig
+    from ..train.parser_trainer import ClassificationTrainer
+    from .encode import encode_batch
+    from .subword import HashTokenizer
+
+    corpus = make_classifier_quality_corpus(seed=seed)
+    tokenizer = HashTokenizer(vocab_size=4099)
+    label_dict = build_label_dictionary(corpus.train)
+    model = TextClassifier(TextClassifierConfig(
+        encoder=XLMRConfig.tiny(vocab_size=4099),
+        num_labels=max(len(label_dict), 2), dropout=0.0))
+    eb = encode_batch(corpus.train[:2], tokenizer, None)
+    encode_labels(eb.records, label_dict, eb)
+    params = model.init(
+        {"params": jax.random.PRNGKey(seed)},
+        {k: jnp.asarray(v) for k, v in eb.arrays().items()},
+        method=model.loss)
+    trainer = ClassificationTrainer(
+        model, params, corpus, tokenizer, label_dict)
+    with tempfile.TemporaryDirectory() as tmp:
+        trainer.train(tmp, TrainConfig(
+            learning_rate=learning_rate, lr_rate=1.0,
+            batch_size=batch_size, max_epochs=max_epochs, seed=seed))
+        scores = trainer.evaluate(corpus.test_list[0])
+    return scores["accuracy"]

@@ -53,6 +53,15 @@ def test_parser_quality_corpus_structure():
             assert 0 <= h <= len(heads) and h != i  # in range, no self-arc
 
 
+def test_trained_classifier_gate():
+    """Held-out accuracy >= 0.95 on the topic corpus — the
+    classification-family 'does it learn' gate."""
+    from kbner_tpu.data.quality_fixture import run_classifier_quality_gate
+
+    acc = run_classifier_quality_gate()
+    assert acc >= 0.95, f"classifier gate failed: held-out acc {acc:.4f}"
+
+
 def test_trained_uas_gate():
     """Held-out UAS >= 0.9 on the pattern treebank — the parser-family
     'does it learn' gate (biaffine arcs + rels + decode + MST repair)."""
