@@ -12,6 +12,7 @@ reusing the tagger trainer's optimizer and checkpoint formats.
 
 from __future__ import annotations
 
+import functools
 import json
 import logging
 import time
@@ -110,7 +111,9 @@ class _TaskTrainer:
         opt_state = tx.init(self.params)
         model = self.model
 
-        @jax.jit
+        # donating params/opt_state lets XLA update them in place —
+        # no extra HBM copy of the model+optimizer per step
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, batch, rng):
             def loss_fn(p):
                 return model.apply(p, batch, deterministic=False,
