@@ -53,6 +53,12 @@ def test_loss_identical_across_meshes(setup):
     batch_tp = shard_batch(pad_batch_for_mesh(eb.arrays(), mesh_tp), mesh_tp)
     tp = float(jax.jit(loss_fn)(shard_params(params, mesh_tp), batch_tp))
 
+    # same mesh + FSDP weight sharding over 'data' (ZeRO-3-style): the
+    # layout changes, the loss must not
+    fsdp = float(jax.jit(loss_fn)(
+        shard_params(params, mesh_tp, fsdp=True), batch_tp))
+    assert fsdp == pytest.approx(tp, rel=1e-4)
+
     # padding rows have zero word_mask/crf_mask; with mean-per-sentence CRF
     # NLL the padded rows contribute zero-score sentences, so compare on the
     # unpadded batch only when B divides evenly
