@@ -146,14 +146,18 @@ class _TaskTrainer:
                 rng, sub = jax.random.split(rng)
                 self.params, opt_state, loss = train_step(
                     self.params, opt_state, self._to_device(eb), sub)
-                losses.append(float(loss))
+                # keep losses on device: a per-step host pull serializes
+                # every step with the (remote-tunnel) round trip
+                losses.append(loss)
+            mean_loss = float(np.mean(
+                [float(l) for l in jax.device_get(losses)])) \
+                if losses else 0.0
             # dev-less runs select on train loss (lower = better)
             scores = (self.evaluate(dev, config.eval_batch_size)
-                      if dev else {key: -float(np.mean(losses))})
-            history.append({"epoch": epoch, "loss": float(np.mean(losses)),
-                            **scores})
+                      if dev else {key: -mean_loss})
+            history.append({"epoch": epoch, "loss": mean_loss, **scores})
             log.info("epoch %d: loss %.4f dev %s %.4f (%.1fs)",
-                     epoch, np.mean(losses), key, scores[key],
+                     epoch, mean_loss, key, scores[key],
                      time.time() - t0)
             if scores[key] >= best[key]:
                 best = {**scores, "epoch": epoch}
