@@ -14,7 +14,7 @@ context processing (``/root/reference/kb/context_process.py:542-657``):
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, Iterable, List, Sequence, Tuple
 
 from ..data.conll import SentenceRecord
 from .engine import RetrievedDoc

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import mmap
 from pathlib import Path
-from typing import Iterable, Iterator, List, Optional, Sequence, Tuple, Union
+from typing import Iterable, Iterator, List, Tuple, Union
 
 import numpy as np
 
