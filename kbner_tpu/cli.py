@@ -651,6 +651,43 @@ def cmd_ingest_dump(args):
     logging.info("wrote %d records to %s", n, args.out)
 
 
+def _open_kb(args):
+    """(text_index, store, title_index) from --index_dir (a saved KB,
+    fast mmap open) or --kb (parsed-wiki JSONL, built in-process)."""
+    if getattr(args, "index_dir", None):
+        from .retrieval.pipeline import load_kb
+
+        text_index, store, title_index, lang = load_kb(args.index_dir)
+        if getattr(args, "lang", None) and args.lang != lang:
+            logging.warning(
+                "--lang %s differs from the saved index language %s; "
+                "using the index's analyzer", args.lang, lang)
+        return text_index, store, title_index
+    if not getattr(args, "kb", None):
+        raise SystemExit("provide --kb JSONL or --index_dir")
+    from .retrieval.pipeline import build_kb_from_jsonl
+
+    return build_kb_from_jsonl(
+        args.kb, lang=args.lang,
+        store_path=getattr(args, "store", None),
+        fail_path=getattr(args, "kb_fail_file", None))
+
+
+def cmd_index(args):
+    """Build and persist a KB (the reference's long-lived ES index):
+    text+title BM25 indices, mmap doc store, meta."""
+    from .retrieval.pipeline import build_kb_from_jsonl, save_kb
+
+    _setup_logging(None)
+    out = Path(args.out)
+    text_index, store, title_index = build_kb_from_jsonl(
+        args.kb, lang=args.lang, store_path=out / "kb.docs",
+        fail_path=getattr(args, "kb_fail_file", None))
+    save_kb(out, text_index, store, title_index, args.lang)
+    logging.info("saved %d-doc %s index to %s",
+                 text_index.n_docs, args.lang, out)
+
+
 def cmd_retrieve(args):
     """Build/load a KB and produce a context-augmented dataset."""
     from .data.conll import read_column_file, write_column_file
@@ -658,7 +695,6 @@ def cmd_retrieve(args):
     from .retrieval.engine import RetrievalEngine
     from .retrieval.fusion import fuse_contexts
     from .retrieval.pipeline import (
-        build_kb_from_jsonl,
         retrieve_for_records,
         write_retrieval_file,
     )
@@ -668,10 +704,7 @@ def cmd_retrieve(args):
         raise SystemExit(
             "--rerank bertscore needs --model_config (the encoder "
             "supplying the token embeddings)")
-    text_index, store, title_index = build_kb_from_jsonl(
-        args.kb, lang=args.lang,
-        store_path=getattr(args, "store", None),
-        fail_path=getattr(args, "kb_fail_file", None))
+    text_index, store, title_index = _open_kb(args)
     engine = RetrievalEngine(
         text_index, store=store, title_index=title_index,
         mode=args.engine_mode)
@@ -829,13 +862,10 @@ def cmd_serve(args):
                         "random-init weights", target_dir)
 
     engine = None
-    if args.kb:
+    if args.kb or getattr(args, "index_dir", None):
         from .retrieval.engine import RetrievalEngine
-        from .retrieval.pipeline import build_kb_from_jsonl
 
-        text_index, store, title_index = build_kb_from_jsonl(
-            args.kb, lang=args.lang,
-            store_path=getattr(args, "store", None))
+        text_index, store, title_index = _open_kb(args)
         engine = RetrievalEngine(
             text_index, store=store, title_index=title_index,
             mode=args.engine_mode)
@@ -987,6 +1017,8 @@ def main(argv=None):
     sp.add_argument("--config", required=True)
     sp.add_argument("--batch_size", type=int, default=32)
     sp.add_argument("--kb")
+    sp.add_argument("--index_dir",
+                    help="saved KB from `cli index` (mmap open, no rebuild)")
     sp.add_argument("--lang", default="en")
     sp.add_argument("--k", type=int, default=10)
     sp.add_argument("--mode", default="sentence_link")
@@ -1007,6 +1039,13 @@ def main(argv=None):
                          "encoder initializes the next")
     sp.set_defaults(fn=cmd_multistage)
 
+    sp = sub.add_parser("index")
+    sp.add_argument("--kb", required=True, help="parsed-wiki JSONL")
+    sp.add_argument("--out", required=True, help="index directory to write")
+    sp.add_argument("--lang", default="en")
+    sp.add_argument("--kb_fail_file", default=None)
+    sp.set_defaults(fn=cmd_index)
+
     sp = sub.add_parser("ingest-dump")
     sp.add_argument("--dump", required=True,
                     help="MediaWiki pages-articles.xml[.bz2] export")
@@ -1017,7 +1056,9 @@ def main(argv=None):
     sp.set_defaults(fn=cmd_ingest_dump)
 
     sp = sub.add_parser("retrieve")
-    sp.add_argument("--kb", required=True, help="parsed-wiki JSONL")
+    sp.add_argument("--kb", help="parsed-wiki JSONL")
+    sp.add_argument("--index_dir",
+                    help="saved KB from `cli index` (mmap open, no rebuild)")
     sp.add_argument("--data_folder", required=True)
     sp.add_argument("--out", required=True)
     sp.add_argument("--lang", default="en")

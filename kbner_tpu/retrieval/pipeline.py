@@ -149,6 +149,53 @@ def read_retrieval_file(path: str | Path) -> Dict[str, List[RetrievedDoc]]:
     return out
 
 
+# -- KB persistence ---------------------------------------------------------------
+
+def save_kb(
+    dir_path: str | Path,
+    text_index: BM25Index,
+    store,
+    title_index: Optional[BM25Index] = None,
+    lang: str = "en",
+) -> None:
+    """Persist a built KB (the role of the long-lived ES index +
+    ``_source`` store, ``build_kb.py``): ``text.idx``/``title.idx``
+    pickles, a ``kb.docs`` PackedDocStore, and ``meta.json``. Reload with
+    :func:`load_kb`; the retrieve/serve CLIs take ``--index_dir``."""
+    from .docstore import PackedDocStore
+
+    d = Path(dir_path)
+    d.mkdir(parents=True, exist_ok=True)
+    text_index.save(d / "text.idx")
+    if title_index is not None:
+        title_index.save(d / "title.idx")
+    if isinstance(store, PackedDocStore):
+        if store.path.resolve() != (d / "kb.docs").resolve():
+            import shutil
+
+            shutil.copyfile(store.path, d / "kb.docs")
+    else:
+        PackedDocStore.from_store(d / "kb.docs", store).close()
+    (d / "meta.json").write_text(json.dumps({"lang": lang}))
+
+
+def load_kb(dir_path: str | Path
+            ) -> Tuple[BM25Index, "PackedDocStore", Optional[BM25Index], str]:
+    """Open a :func:`save_kb` directory: mmap the doc store, unpickle the
+    indices, restore the language's analyzer."""
+    from .docstore import PackedDocStore
+
+    d = Path(dir_path)
+    meta = json.loads((d / "meta.json").read_text())
+    lang = meta.get("lang", "en")
+    analyzer = get_analyzer(lang)
+    text_index = BM25Index.load(d / "text.idx", analyzer=analyzer)
+    title_index = (BM25Index.load(d / "title.idx", analyzer=analyzer)
+                   if (d / "title.idx").exists() else None)
+    store = PackedDocStore(d / "kb.docs")
+    return text_index, store, title_index, lang
+
+
 # -- KB construction -------------------------------------------------------------
 
 def build_kb_from_jsonl(
