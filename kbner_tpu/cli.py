@@ -651,24 +651,30 @@ def cmd_ingest_dump(args):
     logging.info("wrote %d records to %s", n, args.out)
 
 
+def _as_list(v):
+    return v if isinstance(v, list) else ([v] if v else [])
+
+
 def _open_kb(args):
     """(text_index, store, title_index) from --index_dir (a saved KB,
     fast mmap open) or --kb (parsed-wiki JSONL, built in-process)."""
-    if getattr(args, "index_dir", None):
+    index_dirs = _as_list(getattr(args, "index_dir", None))
+    kbs = _as_list(getattr(args, "kb", None))
+    if index_dirs:
         from .retrieval.pipeline import load_kb
 
-        text_index, store, title_index, lang = load_kb(args.index_dir)
+        text_index, store, title_index, lang = load_kb(index_dirs[0])
         if getattr(args, "lang", None) and args.lang != lang:
             logging.warning(
                 "--lang %s differs from the saved index language %s; "
                 "using the index's analyzer", args.lang, lang)
         return text_index, store, title_index
-    if not getattr(args, "kb", None):
+    if not kbs:
         raise SystemExit("provide --kb JSONL or --index_dir")
     from .retrieval.pipeline import build_kb_from_jsonl
 
     return build_kb_from_jsonl(
-        args.kb, lang=args.lang,
+        kbs[0], lang=args.lang,
         store_path=getattr(args, "store", None),
         fail_path=getattr(args, "kb_fail_file", None))
 
@@ -704,10 +710,52 @@ def cmd_retrieve(args):
         raise SystemExit(
             "--rerank bertscore needs --model_config (the encoder "
             "supplying the token embeddings)")
-    text_index, store, title_index = _open_kb(args)
-    engine = RetrievalEngine(
-        text_index, store=store, title_index=title_index,
-        mode=args.engine_mode)
+    if getattr(args, "route", "single") == "mix":
+        # MIX track: one engine per language KB, every query fans out to
+        # all of them and merges by score (the reference's wildcard
+        # `*wiki_v1` msearch, generate_data.py:21-24). KBs are given as
+        # repeated `--kb lang=path` / `--index_dir lang=dir`.
+        from .retrieval.engine import mix_search
+        from .retrieval.pipeline import (build_kb_from_jsonl, load_kb,
+                                         sentence_query)
+
+        engines = {}
+        for spec in _as_list(args.kb):
+            lang, sep, path = spec.rpartition("=")
+            if not sep:
+                lang, path = "en", spec
+            ti, st, tti = build_kb_from_jsonl(path, lang=lang)
+            engines[lang] = RetrievalEngine(
+                ti, store=st, title_index=tti, mode=args.engine_mode)
+        for spec in _as_list(args.index_dir):
+            d = spec.split("=", 1)[-1]
+            ti, st, tti, lang = load_kb(d)
+            engines[lang] = RetrievalEngine(
+                ti, store=st, title_index=tti, mode=args.engine_mode)
+        if not engines:
+            raise SystemExit("--route mix needs --kb lang=path / "
+                             "--index_dir entries")
+
+        def run_search(records, entities):
+            from .retrieval.fusion import extract_entities
+
+            queries = [sentence_query(r, "mix") for r in records]
+            if args.with_entity and entities is None:
+                entities = [extract_entities(r) for r in records]
+            rows = mix_search(engines, queries, k=args.k,
+                              entity_queries=(entities if args.with_entity
+                                              else None))
+            return [[doc for _, doc in row] for row in rows]
+    else:
+        text_index, store, title_index = _open_kb(args)
+        engine = RetrievalEngine(
+            text_index, store=store, title_index=title_index,
+            mode=args.engine_mode)
+
+        def run_search(records, entities):
+            return retrieve_for_records(
+                engine, records, k=args.k, lang=args.lang,
+                with_entity=args.with_entity, entities=entities)
     # The 510-subtoken fusion budget must be measured with the SAME
     # tokenizer the experiment trains with (the reference runs the real
     # XLM-R tokenizer at fusion time, context_process.py:760-763) — a
@@ -769,9 +817,7 @@ def cmd_retrieve(args):
             ]
             logging.info("%s: predicted entity seeds for %d sentences",
                          split, len(records))
-        results = retrieve_for_records(
-            engine, records, k=args.k, lang=args.lang,
-            with_entity=args.with_entity, entities=entities)
+        results = run_search(records, entities)
         if args.with_entity and entities is None:
             # gold-entity fallback (the train-split / no-model path used
             # inside retrieve_for_records) — recompute for the highlight
@@ -1056,9 +1102,16 @@ def main(argv=None):
     sp.set_defaults(fn=cmd_ingest_dump)
 
     sp = sub.add_parser("retrieve")
-    sp.add_argument("--kb", help="parsed-wiki JSONL")
-    sp.add_argument("--index_dir",
-                    help="saved KB from `cli index` (mmap open, no rebuild)")
+    sp.add_argument("--kb", action="append",
+                    help="parsed-wiki JSONL; with --route mix, repeatable "
+                         "as lang=path")
+    sp.add_argument("--index_dir", action="append",
+                    help="saved KB from `cli index` (mmap open, no "
+                         "rebuild); repeatable with --route mix")
+    sp.add_argument("--route", default="single", choices=("single", "mix"),
+                    help="mix: fan every query out to ALL language KBs and "
+                         "merge by score (the reference's *wiki_v1 "
+                         "wildcard msearch for the MIX track)")
     sp.add_argument("--data_folder", required=True)
     sp.add_argument("--out", required=True)
     sp.add_argument("--lang", default="en")

@@ -1190,11 +1190,15 @@ def mix_search(
     engines: Dict[str, RetrievalEngine],
     queries: Sequence[str],
     k: int = 10,
+    entity_queries: Optional[Sequence[Sequence[str]]] = None,
 ) -> List[List[Tuple[str, RetrievedDoc]]]:
     """MIX-track fan-out: query every language engine, merge by score
-    (the reference's wildcard ``*wiki_v1`` msearch, generate_data.py:21-24)."""
+    (the reference's wildcard ``*wiki_v1`` msearch, generate_data.py:21-24).
+    ``entity_queries`` adds the v4 title-boosted clauses on every engine
+    that carries a title index."""
     per_engine = {
-        lang: eng.search(queries, k=k) for lang, eng in engines.items()
+        lang: eng.search(queries, k=k, entity_queries=entity_queries)
+        for lang, eng in engines.items()
     }
     merged: List[List[Tuple[str, RetrievedDoc]]] = []
     for qi in range(len(queries)):

@@ -62,3 +62,35 @@ def test_cli_index_then_retrieve(tmp_path):
     with pytest.raises(SystemExit):
         cli.main(["retrieve", "--data_folder", str(FIX / "ner_toy"),
                   "--out", str(out)])
+
+
+def test_cli_retrieve_route_mix(tmp_path):
+    """MIX-track fan-out from the CLI: repeated lang=path KBs, every
+    query merged across all language engines by score."""
+    from kbner_tpu import cli
+    from kbner_tpu.retrieval.pipeline import read_retrieval_file
+
+    for lang in ("en", "de"):
+        with open(tmp_path / f"{lang}.jsonl", "w", encoding="utf-8") as f:
+            for i in range(12):
+                extra = " Alice Smith visited Berlin" if i == 5 else ""
+                f.write(json.dumps({
+                    "sentence": f"{lang} doc {i} text{extra}",
+                    "paragraph": "p", "title": f"{lang.upper()} E{i}",
+                    "url": "u"}) + "\n")
+    out = tmp_path / "out"
+    cli.main(["retrieve", "--route", "mix",
+              "--kb", f"en={tmp_path / 'en.jsonl'}",
+              "--kb", f"de={tmp_path / 'de.jsonl'}",
+              "--data_folder", str(FIX / "ner_toy"),
+              "--out", str(out), "--k", "4"])
+    parsed = read_retrieval_file(out / "train.retrieval.tsv")
+    rows = next(iter(parsed.values()))
+    # the Alice/Berlin sentence exists in BOTH KBs; the merged top-k must
+    # contain it from both languages with equal scores
+    titles = {d.title for q, docs in parsed.items() for d in docs}
+    assert any(t.startswith("EN") for t in titles)
+    assert any(t.startswith("DE") for t in titles)
+    assert all(len(docs) <= 4 for docs in parsed.values())
+    scores = [d.score for d in rows]
+    assert scores == sorted(scores, reverse=True)  # merged by score
