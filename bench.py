@@ -451,6 +451,10 @@ def main():
 
     qps = ret.pop("qps")
     extra = {**ret, **train, **quality, "backend": backend}
+    if os.environ.get("BENCH_TPU_FALLBACK"):
+        extra["tpu_measured"] = (
+            "tunnel down at bench time - chip-measured r3 numbers with "
+            "provenance are recorded in BENCH_TPU_NOTES.md")
     print(json.dumps({
         "metric": "bm25_pruned_retrieval_throughput",
         "value": round(qps, 1),
