@@ -128,6 +128,31 @@ def test_compact_rows_drop_tiny_and_memory(corpus_index):
     assert dt2[1, 0] == 2 and di2[1, 0] == 3.0
 
 
+def test_index_memory_vs_lucene_estimate():
+    """Absolute memory gate (BASELINE 'equal index memory', VERDICT r2
+    #1): on wiki-statistics docs the pruned engine's device bytes must
+    stay within ~2x of the delta-vint Lucene estimate (2 B/posting +
+    1 B/doc norm). Measured 87.1 B/doc vs 43.3 at 4.19M docs on chip;
+    the ratio is scale-stable, so gate it at test scale too."""
+    from kbner_tpu.retrieval.synth import synth_wiki_docs
+
+    N = 1 << 14
+    tok = synth_wiki_docs(N, vocab=20_000, n_topics=N // 64, seed=0)
+    index = BM25Index.build_encoded(tok, {i: i for i in range(20_000)})
+    engine = RetrievalEngine(index, mode="pruned", rare_terms=16,
+                             posting_budget=6144, n_candidates=512,
+                             tiny_width=384, tiny_pack=False)
+    dev_bytes = (sum(int(a.nbytes) for a in engine._device_rows["text"])
+                 + sum(int(a.nbytes) for a in engine._device_csr))
+    nnz = int((index.doc_terms >= 0).sum())
+    lucene = 2 * nnz + N
+    ratio = dev_bytes / lucene
+    assert ratio <= 2.2, (
+        f"device index {dev_bytes / N:.0f} B/doc is {ratio:.2f}x the "
+        f"Lucene estimate {lucene / N:.0f} B/doc — the ragged-rows "
+        "memory contract regressed")
+
+
 def test_compact_rows_exact_when_impacts_uniform():
     """With a single distinct impact value the 8-bit log grid is lossless,
     so compact-mode scores must EQUAL the exhaustive engine's — isolating
