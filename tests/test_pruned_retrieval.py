@@ -152,6 +152,23 @@ def test_index_memory_vs_lucene_estimate():
         f"Lucene estimate {lucene / N:.0f} B/doc — the ragged-rows "
         "memory contract regressed")
 
+    # and the memory-lean layout must still be ~exact: recall@10 vs the
+    # exhaustive kernel at the same wiki statistics (bench invariant)
+    from bench import encode_rows
+    from kbner_tpu.ops.bm25 import bm25_topk
+
+    rng = np.random.RandomState(1)
+    qt, qw = encode_rows(tok[rng.randint(0, N, size=32)])
+    p_scores, p_ids = engine.search_encoded(qt, qw, k=10)
+    dtt = jnp.asarray(np.ascontiguousarray(index.doc_terms.T))
+    dit = jnp.asarray(np.ascontiguousarray(index.doc_impacts.T))
+    e_scores, e_ids = bm25_topk(
+        ((jnp.asarray(qt), jnp.asarray(qw), dtt, dit),), k=10,
+        doc_chunk=1 << 12)
+    e_ids, p_ids = np.asarray(e_ids), np.asarray(p_ids)
+    recalls = [len(set(e_ids[i]) & set(p_ids[i])) / 10 for i in range(32)]
+    assert np.mean(recalls) >= 0.985, np.mean(recalls)
+
 
 def test_compact_rows_exact_when_impacts_uniform():
     """With a single distinct impact value the 8-bit log grid is lossless,
