@@ -279,7 +279,7 @@ def bench_retrieval(on_tpu: bool) -> dict:
         qt0p, qw0p = batches[2]
         for tag in ("cold", "warm"):
             t0 = time.perf_counter()
-            packed, lqs, t_cols = engine._pack_queries(qt0p, qw0p, ())
+            packed, lqs, t_cols, _ = engine._pack_queries(qt0p, qw0p, ())
             t1 = time.perf_counter()
             dev = _jnp.asarray(packed)
             dev.block_until_ready()

@@ -682,15 +682,56 @@ class RetrievalEngine:
         out_ex[uq, pos] = s_ex
         return out_doc, out_imp, out_ex
 
+    def _slice_tiny_per_shard(self, t_doc: np.ndarray, t_ex: np.ndarray
+                              ) -> Tuple[Optional[np.ndarray], int]:
+        """Sharded compact-rows path: slice the host-gathered tiny-exact
+        block PER SHARD on the host — [S, Q, 2*Tb] with shard-LOCAL doc
+        ids — instead of broadcasting the full global [Q, T] block to
+        every shard (which the old path filtered device-side,
+        engine.py r3; upload grew with shard count). Layout per shard:
+        ``Tb`` local doc-id columns (-1 pad) then ``Tb`` bitcast-f32
+        NEGATED exact sums. Returns (block, Tb)."""
+        S, ss = self.n_shards, self._shard_size
+        Q, T = t_doc.shape
+        if T == 0:
+            return None, 0
+        m = t_doc >= 0
+        if not m.any():
+            return None, 0
+        qidx = np.broadcast_to(np.arange(Q)[:, None], t_doc.shape)
+        key = (t_doc[m] // ss) * Q + qidx[m]
+        counts = np.bincount(key, minlength=S * Q)
+        # bucket the per-(shard, query) max width to bound jit variants
+        Tb, width = int(counts.max(initial=0)), 128
+        while width < Tb:
+            width *= 2
+        Tb = width
+        order = np.argsort(key, kind="stable")
+        ksort = key[order]
+        run_off = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        pos = np.arange(len(ksort)) - run_off[ksort]
+        out_doc = np.full((S, Q, Tb), -1, np.int32)
+        out_ex = np.zeros((S, Q, Tb), np.float32)
+        s_i, q_i = ksort // Q, ksort % Q
+        out_doc[s_i, q_i, pos] = (t_doc[m][order] - s_i * ss).astype(
+            np.int32)
+        out_ex[s_i, q_i, pos] = t_ex[m][order]
+        block = np.concatenate([out_doc, (-out_ex).view(np.int32)], axis=2)
+        return block, Tb
+
     def _pack_queries(self, q_terms, q_weights, extra_fields
-                      ) -> Tuple[np.ndarray, Tuple[int, ...], int]:
+                      ) -> Tuple[np.ndarray, Tuple[int, ...], int,
+                                 Optional[np.ndarray]]:
         """ONE host->device array per query batch: [Q, blocks] int32
         carrying the rare-term ids, the host-gathered tiny-exact block
         (compact-rows mode), then each field's term ids and float-bitcast
         weights. Under the remote-execution tunnel every transfer costs a
         ~30 ms round trip, which dominated the pruned path (measured: a
         no-op dispatch is as expensive as the whole device-side search);
-        packing makes it a single upload."""
+        packing makes it a single upload. Returns (packed, per-field
+        query lengths, tiny-block width, per-shard tiny block or None —
+        the sharded engine ships the tiny block as a SEPARATE
+        'data'-sharded operand, see :meth:`_slice_tiny_per_shard`)."""
         df_floor = self.tiny_cap if self.compact_rows else 0
         rare = self._select_rare_terms(q_terms, df_floor=df_floor)
         segs = [rare.astype(np.int32)]
@@ -703,6 +744,7 @@ class RetrievalEngine:
             segs.append(self._select_rare_terms(
                 extra_fields[0][0], index=self.title_index, df_cap=tcap))
         t_cols = 0
+        tiny_sharded = None
         if self.compact_rows:
             t_doc, _, t_ex = self._gather_tiny_exact(q_terms, q_weights)
             if self.tiny_width and t_doc.shape[1] > self.tiny_width:
@@ -716,6 +758,20 @@ class RetrievalEngine:
                 idx = np.argpartition(-t_ex, W - 1, axis=1)[:, :W]
                 t_doc = np.take_along_axis(t_doc, idx, axis=1)
                 t_ex = np.take_along_axis(t_ex, idx, axis=1)
+            if self.mesh is not None and self.n_shards > 1:
+                tiny_sharded, t_cols = self._slice_tiny_per_shard(
+                    t_doc, t_ex)
+                segs += [np.ascontiguousarray(q_terms, np.int32),
+                         self._fold_weights(q_terms, q_weights,
+                                            "text").view(np.int32)]
+                lqs = [q_terms.shape[1]]
+                for (ft, fw) in extra_fields:
+                    segs.append(np.ascontiguousarray(ft, np.int32))
+                    segs.append(self._fold_weights(
+                        ft, fw, "title").view(np.int32))
+                    lqs.append(ft.shape[1])
+                return (np.concatenate(segs, axis=1), tuple(lqs), t_cols,
+                        tiny_sharded)
             # Only (doc, NEGATED weighted sum) ship: |value| serves as the
             # tiny block's ranking partial (weights are term
             # multiplicities, ~always 1 for text), the sign marks it as a
@@ -775,7 +831,7 @@ class RetrievalEngine:
             segs.append(np.ascontiguousarray(ft, np.int32))
             segs.append(self._fold_weights(ft, fw, "title").view(np.int32))
             lqs.append(ft.shape[1])
-        return np.concatenate(segs, axis=1), tuple(lqs), t_cols
+        return np.concatenate(segs, axis=1), tuple(lqs), t_cols, None
 
     def _fold_weights(self, qt: np.ndarray, qw: np.ndarray,
                       field: str) -> np.ndarray:
@@ -808,19 +864,31 @@ class RetrievalEngine:
             if "title" not in self._device_rows:
                 raise ValueError("engine built without a title index")
             extra.append((title_terms, title_weights))
-        packed, lqs, t_cols = self._pack_queries(q_terms, q_weights, extra)
+        packed, lqs, t_cols, tiny = self._pack_queries(
+            q_terms, q_weights, extra)
         return self._dispatch_packed(jnp.asarray(packed), lqs, t_cols, k,
-                                     bool(extra))
+                                     bool(extra),
+                                     tiny_dev=self._put_tiny(tiny))
+
+    def _put_tiny(self, tiny: Optional[np.ndarray]):
+        if tiny is None:
+            return None
+        return jax.device_put(
+            tiny, NamedSharding(self.mesh, P(DATA_AXIS, None, None)))
 
     def _dispatch_packed(self, packed_dev, lqs, t_cols, k: int,
-                         with_title: bool):
-        run = self._pruned_topk_fn(k, lqs, self.per_term_cap, t_cols)
+                         with_title: bool, tiny_dev=None):
+        sharded_tiny = tiny_dev is not None
+        run = self._pruned_topk_fn(k, lqs, self.per_term_cap, t_cols,
+                                   sharded_tiny=sharded_tiny)
         csr_arrays = list(self._device_csr)
         if with_title and self._device_csr_title is not None:
             csr_arrays += list(self._device_csr_title)
         row_arrays = [a for name in (["text"]
                                      + (["title"] if with_title else []))
                       for a in self._device_rows[name]]
+        if sharded_tiny:
+            return run(packed_dev, tiny_dev, *csr_arrays, *row_arrays)
         return run(packed_dev, *csr_arrays, *row_arrays)
 
     def _search_pruned(
@@ -853,9 +921,9 @@ class RetrievalEngine:
 
         def prep(b):
             qt, qw = b
-            packed, lqs, t_cols = self._pack_queries(qt, qw, ())
+            packed, lqs, t_cols, tiny = self._pack_queries(qt, qw, ())
             dev = jnp.asarray(packed)  # transfer starts on the worker
-            return dev, lqs, t_cols
+            return dev, lqs, t_cols, self._put_tiny(tiny)
 
         from collections import deque
 
@@ -873,32 +941,36 @@ class RetrievalEngine:
             pending: deque = deque()
             for nxt in it:
                 futs.append(ex.submit(prep, nxt))
-                dev, lqs, t_cols = futs.pop(0).result()
-                pending.append(
-                    self._dispatch_packed(dev, lqs, t_cols, k, False))
+                dev, lqs, t_cols, tiny = futs.pop(0).result()
+                pending.append(self._dispatch_packed(
+                    dev, lqs, t_cols, k, False, tiny_dev=tiny))
                 if len(pending) > depth:
                     yield self.unpack_result(pending.popleft())
             while futs:
-                dev, lqs, t_cols = futs.pop(0).result()
-                pending.append(
-                    self._dispatch_packed(dev, lqs, t_cols, k, False))
+                dev, lqs, t_cols, tiny = futs.pop(0).result()
+                pending.append(self._dispatch_packed(
+                    dev, lqs, t_cols, k, False, tiny_dev=tiny))
                 if len(pending) > depth:
                     yield self.unpack_result(pending.popleft())
             while pending:
                 yield self.unpack_result(pending.popleft())
 
     def _pruned_topk_fn(self, k: int, lqs: Tuple[int, ...],
-                        per_term_cap: int, t_cols: int = 0):
+                        per_term_cap: int, t_cols: int = 0,
+                        sharded_tiny: bool = False):
         """Cached jitted closure for pruned search over a PACKED query
         array (see :meth:`_pack_queries`) — a fresh jit per call would
         recompile every query batch, and separate per-array transfers
         would each pay the tunnel round trip. ``t_cols`` is the width of
-        the host-gathered tiny-exact block (0 when absent)."""
+        the host-gathered tiny-exact block (0 when absent);
+        ``sharded_tiny`` means the tiny block arrives as a SEPARATE
+        'data'-sharded [S, Q, 2*t_cols] operand with shard-local doc ids
+        (:meth:`_slice_tiny_per_shard`) instead of inside ``packed``."""
         cached = getattr(self, "_pruned_cache", None)
         if cached is None:
             cached = self._pruned_cache = {}
         M = self.rare_terms
-        key = (k, lqs, per_term_cap, t_cols)
+        key = (k, lqs, per_term_cap, t_cols, sharded_tiny)
         if key in cached:
             return cached[key]
 
@@ -927,12 +999,14 @@ class RetrievalEngine:
         from ..ops.bm25 import (bm25_pruned_topk_packed,
                                 gather_pruned_candidate_keys)
 
-        def unpack_queries(packed, row_arrays):
+        def unpack_queries(packed, row_arrays, parse_tiny=True):
             rares = [packed[:, i * M:(i + 1) * M]
                      for i in range(n_rare_blocks)]
             pos = M * n_rare_blocks
             tiny = None
-            if t_cols and tiny_pack is not None:
+            if not parse_tiny:
+                pass  # tiny rides a separate sharded operand
+            elif t_cols and tiny_pack is not None:
                 docbits = tiny_pack[0]
                 enc = packed[:, pos: pos + t_cols]
                 # per-batch scale rides in two bitcast-f32 columns
@@ -1027,6 +1101,8 @@ class RetrievalEngine:
         shard_size = self._shard_size
 
         def shard_fn(packed, *arrays):
+            if sharded_tiny:
+                tiny_blk, arrays = arrays[0], arrays[1:]
             n_csr = 2 * n_rare_blocks
             csr_flat, row_arrays = arrays[:n_csr], arrays[n_csr:]
             shard_idx = jax.lax.axis_index(DATA_AXIS)
@@ -1035,15 +1111,17 @@ class RetrievalEngine:
             if with_title_csr:
                 csrs.append(
                     (csr_flat[2][0], csr_flat[3][0], tcsr_lo, tcsr_step))
-            rares, tiny, fields = unpack_queries(packed, local_rows)
-            if tiny is not None:
-                # tiny-block doc ids are GLOBAL; keep only this shard's
-                # slice in local coordinates (out-of-shard -> pad)
-                t_doc, t_ex = tiny
-                local = t_doc - shard_idx * shard_size
-                ok = (t_doc >= 0) & (local >= 0) & (local < shard_size)
-                tiny = (jnp.where(ok, local, -1),
-                        jnp.where(ok, t_ex, 0.0))
+            rares, tiny, fields = unpack_queries(
+                packed, local_rows, parse_tiny=not sharded_tiny)
+            if sharded_tiny:
+                # host pre-sliced this shard's tiny entries (local doc
+                # ids, -1 pad): Tb doc columns then Tb bitcast NEGATED
+                # f32 exact sums — no device-side global->local filter
+                blk = tiny_blk[0]  # [Q, 2*t_cols]
+                t_doc = blk[:, :t_cols]
+                t_ex = -jax.lax.bitcast_convert_type(
+                    blk[:, t_cols: 2 * t_cols], jnp.float32)
+                tiny = (t_doc, jnp.where(t_doc >= 0, t_ex, 0.0))
             s_scores, s_ids = pooled_topk(rares, tiny, csrs, fields,
                                           shard_size)
             s_ids = jnp.where(
@@ -1061,10 +1139,11 @@ class RetrievalEngine:
         # per field: flat rows [S, NR, lanes], off [S, ss], lens [S, ss]
         row_spec = (P(DATA_AXIS, None, None), P(DATA_AXIS, None),
                     P(DATA_AXIS, None)) * len(lqs)
+        tiny_spec = ((P(DATA_AXIS, None, None),) if sharded_tiny else ())
         run = jax.jit(jax.shard_map(
             shard_fn,
             mesh=mesh,
-            in_specs=(P(),) + csr_spec + row_spec,
+            in_specs=(P(),) + tiny_spec + csr_spec + row_spec,
             out_specs=P(),
             check_vma=False,
         ))
@@ -1191,15 +1270,44 @@ def mix_search(
     queries: Sequence[str],
     k: int = 10,
     entity_queries: Optional[Sequence[Sequence[str]]] = None,
+    title_boost: float = 2.0,
+    max_query_terms: int = 64,
 ) -> List[List[Tuple[str, RetrievedDoc]]]:
     """MIX-track fan-out: query every language engine, merge by score
-    (the reference's wildcard ``*wiki_v1`` msearch, generate_data.py:21-24).
-    ``entity_queries`` adds the v4 title-boosted clauses on every engine
-    that carries a title index."""
-    per_engine = {
-        lang: eng.search(queries, k=k, entity_queries=entity_queries)
-        for lang, eng in engines.items()
-    }
+    (the reference's wildcard ``*wiki_v1`` msearch — ONE fan-out request,
+    generate_data.py:21-24). ``entity_queries`` adds the v4 title-boosted
+    clauses on every engine that carries a title index.
+
+    The fan-out is PIPELINED, not serial: every engine's query batch is
+    encoded, uploaded, and dispatched first, and only then are results
+    pulled — so the device works through all languages back-to-back
+    instead of paying a full dispatch+pull round trip per language
+    (11 sequential round trips at the MIX track's 11 engines; the pull is
+    the round-trip-dominated step under the remote tunnel)."""
+    dispatched: List[Tuple[str, RetrievalEngine, str, object]] = []
+    for lang, eng in engines.items():
+        q_terms, q_weights = eng.text_index.encode_queries(
+            list(queries), max_query_terms=max_query_terms)
+        t_terms = t_weights = None
+        if entity_queries is not None and eng.title_index is not None:
+            joined = [" ".join(ents) for ents in entity_queries]
+            t_terms, t_weights = eng.title_index.encode_queries(
+                joined, max_query_terms=max_query_terms,
+                boosts=[title_boost] * len(joined))
+        if eng.mode == "pruned":
+            # dispatch without pulling: the device array is the handle
+            out = eng._search_pruned_device(
+                q_terms, q_weights, k, t_terms, t_weights)
+            dispatched.append((lang, eng, "device", out))
+        else:
+            out = eng.search_encoded(
+                q_terms, q_weights, k=k, title_terms=t_terms,
+                title_weights=t_weights)
+            dispatched.append((lang, eng, "host", out))
+    per_engine: Dict[str, List[List[RetrievedDoc]]] = {}
+    for lang, eng, kind, out in dispatched:
+        scores, ids = (eng.unpack_result(out) if kind == "device" else out)
+        per_engine[lang] = eng._materialize(scores, ids)
     merged: List[List[Tuple[str, RetrievedDoc]]] = []
     for qi in range(len(queries)):
         rows = [

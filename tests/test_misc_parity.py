@@ -1,6 +1,8 @@
 """Small parity surfaces: HTML viz, reranking, splitter, optim extras,
 LM generation, token-budget batching."""
 
+import zlib
+
 import numpy as np
 import pytest
 import jax
@@ -86,7 +88,7 @@ def test_rerank_by_bertscore_prefers_match():
         mask = np.zeros((len(texts), S), np.int32)
         for i, t in enumerate(texts):
             for j, w in enumerate(t.split()):
-                emb[i, j] = proj[hash(w) % 997]
+                emb[i, j] = proj[zlib.crc32(w.encode()) % 997]
                 mask[i, j] = 1
         return jnp.asarray(emb), jnp.asarray(mask)
 

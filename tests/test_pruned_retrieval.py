@@ -435,3 +435,66 @@ def test_packed_kernel_matches_two_operand(corpus_index):
         max_dup_shifts=12, imp_lo=lo, imp_step=step, ragged_rows=(r2,))
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5)
+
+
+def test_slice_tiny_per_shard_roundtrip(corpus_index):
+    """The host-side per-shard tiny-block slicer must conserve every
+    (query, doc, exact-sum) entry with shard-LOCAL doc ids (VERDICT r3
+    #10: the old path broadcast the global block to every shard)."""
+    from kbner_tpu.parallel import make_mesh
+
+    docs, index = corpus_index
+    mesh = make_mesh(data=8, model=1)
+    eng = RetrievalEngine(index, mode="pruned", rare_terms=8,
+                          posting_budget=2048, n_candidates=64, mesh=mesh)
+    qt, qw = index.encode_queries([docs[0], docs[5], docs[9]])
+    t_doc, _, t_ex = eng._gather_tiny_exact(qt, qw)
+    block, tb = eng._slice_tiny_per_shard(t_doc, t_ex)
+    assert block.shape == (eng.n_shards, qt.shape[0], 2 * tb)
+    got = set()
+    ss = eng._shard_size
+    for s in range(eng.n_shards):
+        d = block[s, :, :tb]
+        ex = -block[s, :, tb:].view(np.float32)
+        for q in range(qt.shape[0]):
+            for j in range(tb):
+                if d[q, j] >= 0:
+                    assert 0 <= d[q, j] < ss  # local coordinates
+                    got.add((q, int(d[q, j]) + s * ss, float(ex[q, j])))
+    want = {(q, int(t_doc[q, j]), float(t_ex[q, j]))
+            for q in range(qt.shape[0]) for j in range(t_doc.shape[1])
+            if t_doc[q, j] >= 0}
+    assert got == want
+
+
+def test_mix_search_pipelined_matches_serial(corpus_index):
+    """Pipelined mix fan-out (dispatch all engines, then pull) returns
+    exactly what per-engine serial searches would (VERDICT r3 #8)."""
+    from kbner_tpu.retrieval import DocStore, mix_search
+
+    docs, index = corpus_index
+    other_docs = make_corpus(n_docs=200, vocab=300, seed=7)
+    other = BM25Index.build(other_docs,
+                            params=BM25Params(quantize_norms=False),
+                            pad_docs_to=64)
+    engines = {
+        "en": RetrievalEngine(index, store=DocStore(sentences=list(docs)),
+                              mode="pruned", rare_terms=8,
+                              posting_budget=2048, n_candidates=64),
+        "de": RetrievalEngine(other,
+                              store=DocStore(sentences=list(other_docs)),
+                              use_pallas=False, block_d=64),
+    }
+    queries = [docs[0], other_docs[3], docs[7]]
+    merged = mix_search(engines, queries, k=5)
+    # serial reference: per-engine .search + score merge
+    serial = {lang: eng.search(queries, k=5)
+              for lang, eng in engines.items()}
+    for qi in range(len(queries)):
+        rows = [(lang, d) for lang, res in serial.items()
+                for d in res[qi]]
+        rows.sort(key=lambda x: -x[1].score)
+        want = [(lang, d.doc_id, pytest.approx(d.score, rel=1e-6))
+                for lang, d in rows[:5]]
+        got = [(lang, d.doc_id, d.score) for lang, d in merged[qi]]
+        assert got == want
