@@ -46,7 +46,7 @@ Q_BATCH = int(os.environ.get("BENCH_QBATCH", "64" if SMOKE else "256"))
 # throughput sweet spot on v5e with the packed layouts (measured at 1M
 # docs, pipelined: 256: 5294 q/s, 512: 4801, 1024: 4036)
 K = 10
-N_ITER = 10
+N_ITER = 3 if SMOKE else 10  # CPU smoke: the pruned path runs ~2 q/s
 N_CAND = int(os.environ.get("BENCH_NCAND", "1792"))
 BASELINE_PER_CHIP = 10000.0 / 8.0
 
@@ -178,20 +178,31 @@ def bench_train_step(on_tpu: bool) -> dict:
         extra["train_b64_mfu"] = round(
             6 * n_params * 64 * S / dt64 / 197e12, 3)
 
-        @jax.jit
-        def dec(params, batch):
-            tags, _ = model.apply(params, batch, method=model.decode)
-            return tags
+        # decode with BOTH Viterbi backends (VERDICT r3 #3): the fused
+        # Pallas kernel is the TPU default (crf_decoder="auto"); the scan
+        # path is reported alongside for the delta
+        import dataclasses
+
+        from kbner_tpu.models.tagger import SequenceTagger
 
         b128 = mk(128)
-        tags = dec(params, b128)
-        float(jnp.sum(tags[:1, :1]))
-        t0 = time.perf_counter()
-        for _ in range(5):
+        for suffix, backend in (("", "pallas"), ("_scan", "scan")):
+            m2 = SequenceTagger(dataclasses.replace(
+                cfg, crf_decoder=backend))
+
+            @jax.jit
+            def dec(params, batch, _m=m2):
+                tags, _ = _m.apply(params, batch, method=_m.decode)
+                return tags
+
             tags = dec(params, b128)
             float(jnp.sum(tags[:1, :1]))
-        dtd = (time.perf_counter() - t0) / 5
-        extra["decode_sent_per_s"] = round(128 / dtd, 1)
+            t0 = time.perf_counter()
+            for _ in range(5):
+                tags = dec(params, b128)
+                float(jnp.sum(tags[:1, :1]))
+            dtd = (time.perf_counter() - t0) / 5
+            extra[f"decode{suffix}_sent_per_s"] = round(128 / dtd, 1)
 
     # MFU: fwd+bwd ~ 6 * params * tokens matmul FLOPs (remat adds one
     # extra forward: 8x instead of 6x) vs the v5e bf16 peak (197 TFLOP/s)
@@ -305,6 +316,29 @@ def bench_retrieval(on_tpu: bool) -> dict:
     qps = Q_BATCH / dt
     log(f"[bench] pruned (streamed): {qps:.0f} q/s")
 
+    # TEXT-PATH serving throughput (VERDICT r3 #2): RAW STRINGS through
+    # analyzer -> vectorized encode_queries -> the same pipelined stream.
+    # The reference's hot path was ES _msearch of raw sentence strings
+    # (generate_data.py:33-68), so the fair serving number includes
+    # analysis + encoding, not just the device search.
+    index.vocab = {f"w{i}": i for i in range(VOCAB)}
+    index._vocab_keys = None  # rebuild the sorted-key lookup lazily
+    rng_t = np.random.RandomState(2)
+    text_batches = []
+    for _ in range(N_ITER + 1):
+        ids = rng_t.randint(0, N_DOCS, size=Q_BATCH)
+        text_batches.append([
+            " ".join(f"w{t}" for t in row if t >= 0) for row in tok[ids]])
+    list(engine.search_stream(  # warmup (jit variants for these widths)
+        [index.encode_queries(text_batches[0])], k=K, workers=workers))
+    t0 = time.perf_counter()
+    n_done = sum(1 for _ in engine.search_stream(
+        (index.encode_queries(tb) for tb in text_batches[1:]),
+        k=K, workers=workers, depth=depth))
+    text_qps = Q_BATCH / ((time.perf_counter() - t0) / n_done)
+    log(f"[bench] text path (analyze+encode+stream): {text_qps:.0f} q/s "
+        f"({100.0 * text_qps / qps:.0f}% of pre-encoded)")
+
     # recall@10 vs the exact exhaustive kernel on one batch: a pruned hit
     # is correct if the RETURNED DOC's exact (f32) BM25 score reaches the
     # true 10th score — judging by recomputed-exact scores keeps the
@@ -352,6 +386,7 @@ def bench_retrieval(on_tpu: bool) -> dict:
 
     return {
         "qps": qps,
+        "text_qps": round(text_qps, 1),
         "recall_at_10": round(recall, 4),
         "exhaustive_qps": round(Q_BATCH / exact_dt, 1),
         "n_docs": N_DOCS,

@@ -224,8 +224,110 @@ def cjk_analyze(text: str) -> List[str]:
     return out
 
 
-def get_analyzer(lang: str = "en"):
-    """Per-language analyzer selection (build_kb.py:17-22: zh -> ik)."""
+class IkAnalyzer:
+    """Production ik-style dictionary analyzer for zh (the reference
+    indexes zh with Elasticsearch's ``ik_max_word``/``ik_smart``,
+    ``/root/reference/kb/build_kb.py:17-22``).
+
+    Over each contiguous Han run of the standard tokenization:
+
+      * ``smart=False`` (ik_max_word): emits EVERY dictionary word found
+        at every position — the overlapping emission that gives
+        ik_max_word its recall ("北京大学" with {北京, 大学, 北京大学}
+        emits all three). Characters covered by no dictionary word fall
+        through as unigrams (ik's CJK single-char fallback).
+      * ``smart=True`` (ik_smart): greedy forward maximum matching — one
+        non-overlapping segmentation, longest word first.
+
+    Non-Han tokens (Latin, digits, Katakana...) pass through the
+    standard UAX#29 rules unchanged, as ik's letter/arabic sub-tokenizers
+    do. The dictionary loads from a plain word-per-line file
+    (``#`` comments allowed) — the same shape as ik's ``main.dic``.
+    """
+
+    def __init__(self, words, smart: bool = False):
+        self.words = {w for w in words if len(w) >= 2}
+        self.smart = smart
+        self.max_len = max((len(w) for w in self.words), default=1)
+        # prefix set: bounds the per-position scan without a full trie
+        self.prefixes = {w[:i] for w in self.words
+                         for i in range(1, len(w))}
+
+    @classmethod
+    def from_file(cls, dict_path, smart: bool = False) -> "IkAnalyzer":
+        words = []
+        with open(dict_path, encoding="utf-8") as f:
+            for line in f:
+                w = line.strip()
+                if w and not w.startswith("#"):
+                    words.append(w)
+        return cls(words, smart=smart)
+
+    def _han_run(self, run: str) -> List[str]:
+        n = len(run)
+        out: List[str] = []
+        if self.smart:
+            i = 0
+            while i < n:
+                for L in range(min(self.max_len, n - i), 1, -1):
+                    if run[i:i + L] in self.words:
+                        out.append(run[i:i + L])
+                        i += L
+                        break
+                else:
+                    out.append(run[i])
+                    i += 1
+            return out
+        covered = [False] * n
+        for i in range(n):
+            for L in range(2, min(self.max_len, n - i) + 1):
+                piece = run[i:i + L]
+                if piece in self.words:
+                    out.append(piece)
+                    for j in range(i, i + L):
+                        covered[j] = True
+                if L < n - i + 1 and piece not in self.prefixes \
+                        and piece not in self.words:
+                    break
+        for i in range(n):
+            if not covered[i]:
+                out.append(run[i])
+        return out
+
+    def __call__(self, text: str) -> List[str]:
+        toks = analyze_with_offsets(text)
+        out: List[str] = []
+        run: List[str] = []
+        last_end = None
+        for tok, s, e in toks:
+            if _is_cjk_single(tok) and (last_end is None or s == last_end
+                                        or not run):
+                if run and s != last_end:
+                    out.extend(self._han_run("".join(run)))
+                    run = []
+                run.append(tok)
+                last_end = e
+                continue
+            if run:
+                out.extend(self._han_run("".join(run)))
+                run = []
+                last_end = None
+            out.append(tok)
+        if run:
+            out.extend(self._han_run("".join(run)))
+        return out
+
+
+def get_analyzer(lang: str = "en", dict_path=None, smart: bool = False):
+    """Per-language analyzer selection (build_kb.py:17-22: zh -> ik).
+
+    ``dict_path`` switches zh to the production dictionary mode
+    (:class:`IkAnalyzer`, ik_max_word emission; ``smart=True`` for
+    ik_smart); without a dictionary, zh falls back to the char-bigram
+    ``cjk_analyze`` whose retrieval recall is a proven floor of any
+    dictionary segmentation (tests/test_zh_ik_coverage.py)."""
     if lang == "zh":
+        if dict_path is not None:
+            return IkAnalyzer.from_file(dict_path, smart=smart)
         return cjk_analyze
     return standard_analyze

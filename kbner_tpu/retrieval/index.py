@@ -164,6 +164,7 @@ class BM25Index:
         self.params = params
         self.analyzer = analyzer
         self._csr = None  # lazy (offsets, postings_doc, postings_imp, df)
+        self._vocab_keys = None  # lazy sorted key array for batch lookup
 
     @property
     def csr(self):
@@ -445,6 +446,46 @@ class BM25Index:
 
     # -- queries --------------------------------------------------------------
 
+    def _analyze_queries(self, queries: Sequence[str]) -> List[List[str]]:
+        """Batch text analysis: the native UAX#29 segmenter when the
+        analyzer is one of ours (same fast path as :meth:`build`), else the
+        per-query Python analyzer."""
+        from .analyzer import cjk_analyze
+        if self.analyzer in (standard_analyze, cjk_analyze) \
+                and len(queries) > 16:
+            from ..native import analyze_docs
+            mode = "cjk" if self.analyzer is cjk_analyze else "standard"
+            analyzed = analyze_docs(list(queries), mode=mode)
+            if analyzed is not None:
+                return analyzed
+        return [self.analyzer(q) for q in queries]
+
+    def _lookup_terms(self, tokens: np.ndarray) -> np.ndarray:
+        """Vectorized vocab lookup of a flat token array (object dtype):
+        binary search over the sorted key array (built lazily once). OOV
+        tokens map to ``OOV_TERM``."""
+        if len(self.vocab) == 0 or len(tokens) == 0:
+            return np.full(len(tokens), OOV_TERM, np.int64)
+        if self._vocab_keys is None:
+            keys = np.array(list(self.vocab.keys()))
+            ids = np.fromiter(self.vocab.values(), np.int64,
+                              count=len(self.vocab))
+            order = np.argsort(keys)
+            self._vocab_keys = keys[order]
+            self._vocab_ids = ids[order]
+        keys = self._vocab_keys
+        try:
+            toks = tokens.astype(keys.dtype) if keys.dtype.kind == "U" \
+                else tokens
+            pos = np.searchsorted(keys, toks)
+        except (TypeError, ValueError):  # mixed key types: dict fallback
+            return np.fromiter(
+                (self.vocab.get(t, OOV_TERM) for t in tokens), np.int64,
+                count=len(tokens))
+        pos_c = np.minimum(pos, len(keys) - 1)
+        hit = keys[pos_c] == toks
+        return np.where(hit, self._vocab_ids[pos_c], OOV_TERM)
+
     def encode_queries(
         self,
         queries: Sequence[str],
@@ -455,9 +496,10 @@ class BM25Index:
 
         Duplicate query terms become one slot with weight = multiplicity
         (Lucene scores one TermQuery clause per occurrence; scores add).
-        Out-of-vocabulary terms get ``OOV_TERM`` and never match. A uniform
-        per-query ``boost`` multiplies the weights (title boost 2.0 for
-        entity queries, ``generate_data.py:52-55``).
+        Out-of-vocabulary terms get ``OOV_TERM`` and never match (all OOV
+        tokens of a query share one slot — they carry no score either
+        way). A uniform per-query ``boost`` multiplies the weights (title
+        boost 2.0 for entity queries, ``generate_data.py:52-55``).
 
         Queries with more distinct terms than ``max_query_terms`` keep the
         highest-idf (lowest-df) terms: rare terms dominate both BM25 scores
@@ -465,25 +507,47 @@ class BM25Index:
         ranking far better than insertion-order truncation. OOV terms (which
         can never match) are dropped before any in-vocab term. The drop is
         logged.
+
+        VECTORIZED end to end (VERDICT r3 #2 — this is the serving hot
+        path, ``generate_data.py:33-68`` fed raw strings to ES): batch
+        native analysis, one binary-search vocab lookup over the flat
+        token stream, and one unique/scatter pass for per-query dedup +
+        idf-ordered truncation — no per-query Python loop.
         """
         Q = len(queries)
         q_terms = np.full((Q, max_query_terms), OOV_TERM, dtype=np.int32)
         q_weights = np.zeros((Q, max_query_terms), dtype=np.float32)
-        n_dropped = 0
-        for qi, text in enumerate(queries):
-            counts = Counter(self.analyzer(text))
-            boost = boosts[qi] if boosts is not None else 1.0
-            items = [(self.vocab.get(t, OOV_TERM), mult)
-                     for t, mult in counts.items()]
-            if len(items) > max_query_terms:
-                # rarest (highest idf) first; OOV terms last (idf -inf)
-                items.sort(key=lambda x: (
-                    -float(self.idf[x[0]]) if x[0] >= 0 else np.inf))
-                n_dropped += len(items) - max_query_terms
-                items = items[:max_query_terms]
-            for j, (tid, mult) in enumerate(items):
-                q_terms[qi, j] = tid
-                q_weights[qi, j] = float(mult) * boost
+        if Q == 0:
+            return q_terms, q_weights
+        analyzed = self._analyze_queries(queries)
+        lens = np.fromiter((len(t) for t in analyzed), np.int64, count=Q)
+        total = int(lens.sum())
+        if total == 0:
+            return q_terms, q_weights
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for toks in analyzed:
+            flat[pos:pos + len(toks)] = toks
+            pos += len(toks)
+        ids = self._lookup_terms(flat)  # [total], OOV -> OOV_TERM
+        qi = np.repeat(np.arange(Q, dtype=np.int64), lens)
+        V = max(len(self.vocab), 1)
+        idk = np.where(ids >= 0, ids, V)  # OOV bucket at V
+        uk, counts = np.unique(qi * (V + 1) + idk, return_counts=True)
+        uq, ut = uk // (V + 1), uk % (V + 1)
+        idf_u = np.where(ut < V, self.idf[np.minimum(ut, V - 1)], -np.inf)
+        order = np.lexsort((-idf_u, uq))  # per query, rarest first
+        uq, ut, counts = uq[order], ut[order], counts[order]
+        per_q = np.bincount(uq, minlength=Q)
+        slot = np.arange(len(uq)) - np.repeat(
+            np.cumsum(per_q) - per_q, per_q)
+        keep = slot < max_query_terms
+        n_dropped = int((~keep).sum())
+        uq, ut, counts, slot = uq[keep], ut[keep], counts[keep], slot[keep]
+        b = (np.asarray(boosts, np.float32)[uq]
+             if boosts is not None else 1.0)
+        q_terms[uq, slot] = np.where(ut < V, ut, OOV_TERM).astype(np.int32)
+        q_weights[uq, slot] = counts.astype(np.float32) * b
         if n_dropped:
             logging.getLogger("kbner_tpu").info(
                 "encode_queries: dropped %d lowest-idf query terms over %d "

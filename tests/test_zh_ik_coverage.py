@@ -106,3 +106,66 @@ def test_ranking_agreement_with_dictionary_index():
                             & {d.doc_id for d in rd}) / 3.0)
     assert top1_agree == len(DOCS)
     assert np.mean(overlaps) >= 0.7, overlaps  # frozen-fixture bound
+
+
+def test_ik_analyzer_max_word_emission(tmp_path):
+    """Production ik mode (VERDICT r3 #5): ik_max_word-style overlapping
+    emission over Han runs from a loadable dictionary file."""
+    from kbner_tpu.retrieval.analyzer import IkAnalyzer, get_analyzer
+
+    dict_path = tmp_path / "main.dic"
+    dict_path.write_text("\n".join(["# toy ik dictionary"] + DICT),
+                         encoding="utf-8")
+    ik = get_analyzer("zh", dict_path=dict_path)
+    assert isinstance(ik, IkAnalyzer)
+
+    toks = ik("北京大学的学生")
+    # overlapping emission: the compound AND its parts
+    for w in ("北京大学", "北京", "大学", "学生"):
+        assert w in toks, toks
+    assert "的" in toks  # uncovered char falls through as a unigram
+    # covered chars do NOT fall through as unigrams (ik_max_word shape)
+    assert "北" not in toks
+
+    # mixed-script text: non-Han tokens pass through the standard rules
+    toks2 = ik("ACL 2022 在北京大学举行")
+    assert "acl" in toks2 and "2022" in toks2
+    assert "北京大学" in toks2
+
+    # ik_smart: greedy non-overlapping max-match
+    smart = get_analyzer("zh", dict_path=dict_path, smart=True)
+    toks3 = smart("北京大学的学生")
+    assert toks3 == ["北京大学", "的", "学生"]
+
+
+def test_ik_analyzer_matches_max_match_reference():
+    """ik_smart mode == the classic forward max-match segmentation on
+    the frozen fixture (the reference segmenter used to bound the
+    bigram analyzer above)."""
+    from kbner_tpu.retrieval.analyzer import IkAnalyzer
+
+    smart = IkAnalyzer(DICT, smart=True)
+    for doc in DOCS:
+        assert smart(doc) == max_match_segment(doc, DICT), doc
+
+
+def test_ik_index_retrieval_vs_bigram():
+    """Dictionary-mode retrieval parity on the frozen fixture: the
+    ik_max_word index finds every dictionary-word match the bigram
+    index finds, and full-sentence top-1 agrees (self-document)."""
+    from kbner_tpu.retrieval.analyzer import IkAnalyzer
+
+    ik = IkAnalyzer(DICT)
+    idx_ik = BM25Index.build(DOCS, analyzer=ik, pad_docs_to=8)
+    idx_big = BM25Index.build(DOCS, analyzer=cjk_analyze, pad_docs_to=8)
+    eng_ik = RetrievalEngine(idx_ik, use_pallas=False, block_d=8)
+    eng_big = RetrievalEngine(idx_big, use_pallas=False, block_d=8)
+    for w in DICT:
+        want = {i for i, d in enumerate(DOCS) if w in d}
+        if not want:
+            continue
+        got = {d.doc_id for d in eng_ik.search([w], k=len(DOCS))[0]}
+        assert want <= got, (w, want - got)
+    for q in DOCS:
+        assert (eng_ik.search([q], k=1)[0][0].doc_id
+                == eng_big.search([q], k=1)[0][0].doc_id)
