@@ -247,11 +247,16 @@ def bench_retrieval(on_tpu: bool) -> dict:
     # 0.9895 packed), and the upload round trip, hidden by the
     # search_stream worker pipeline. tiny_width=384 caps the tiny
     # block's batch-max padding (recall-neutral, -15% upload bytes).
+    # tiny_df_cap=128 + delta16 rows (r4): the delta16 gap coding needs a
+    # small non-tiny term space (T'=28.6k at cap 128 vs 149k at 64 — the
+    # 13-bit gap field overflows at the latter), and the bigger cap also
+    # moves 11% more postings into the lossless host-exact block
     t0 = time.perf_counter()
     engine = RetrievalEngine(
         index, mode="pruned", use_pallas=on_tpu, rare_terms=16,
         posting_budget=int(os.environ.get("BENCH_BUDGET", "6144")),
-        n_candidates=N_CAND, tiny_width=384, tiny_pack=False)
+        n_candidates=N_CAND, tiny_width=384, tiny_pack=False,
+        tiny_df_cap=int(os.environ.get("BENCH_TINYCAP", "128")))
     # force CSR + upload completion
     jax.block_until_ready(engine._device_csr)
     upload_s = time.perf_counter() - t0

@@ -107,6 +107,20 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_double, ctypes.c_double,
             ctypes.c_int64, _f32p, _i32p]
         lib.pack_ragged.restype = None
+        lib.pack_delta16.argtypes = [
+            _i32p, _i32p, _i32p, ctypes.POINTER(ctypes.c_uint8), _i64p,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint16)]
+        lib.pack_delta16.restype = None
+        lib.delta16_lens.argtypes = [
+            _i32p, _f32p, _i32p, _f32p, _f32p,
+            ctypes.c_int64, ctypes.c_int64, _i64p]
+        lib.delta16_lens.restype = None
+        lib.delta16_emit.argtypes = [
+            _i32p, _f32p, _i32p, _f32p, _f32p, _i64p,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint16)]
+        lib.delta16_emit.restype = None
     except AttributeError:
         pass
     _LIB = lib
@@ -197,6 +211,64 @@ def pack_ragged(doc_terms: np.ndarray, doc_impacts: np.ndarray,
                     float(lo), float(step), levels, tl_ptr,
                     _ptr(flat, ctypes.c_int32))
     return True
+
+
+def pack_delta16(rem: np.ndarray, tf: np.ndarray, n_cont: np.ndarray,
+                 valid: np.ndarray, off: np.ndarray,
+                 flat: np.ndarray) -> bool:
+    """Native emission of the delta16 slot stream (engine.py::
+    _pack_doc_rows_delta16): per valid (doc, j) posting, ``n_cont``
+    continuation slots then ``(rem << 3) | tf``, written at the doc's
+    ``off`` slot cursor. Returns False when unavailable (NumPy fallback
+    in the caller)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "pack_delta16"):
+        return False
+    N, L = rem.shape
+    remc = np.ascontiguousarray(rem, np.int32)
+    tfc = np.ascontiguousarray(tf, np.int32)
+    ncc = np.ascontiguousarray(n_cont, np.int32)
+    vc = np.ascontiguousarray(valid, np.uint8)
+    offc = np.ascontiguousarray(off, np.int64)
+    assert flat.dtype == np.uint16 and flat.flags.c_contiguous
+    lib.pack_delta16(_ptr(remc, ctypes.c_int32), _ptr(tfc, ctypes.c_int32),
+                     _ptr(ncc, ctypes.c_int32), _ptr(vc, ctypes.c_uint8),
+                     _ptr(offc, ctypes.c_int64), N, L,
+                     _ptr(flat, ctypes.c_uint16))
+    return True
+
+
+def delta16_rows(dt: np.ndarray, di: np.ndarray, remap: np.ndarray,
+                 idf: np.ndarray, norm: np.ndarray):
+    """Fused native delta16 transform: returns a ``(lens, emit)`` pair —
+    ``lens`` [N] int64 slot counts, and ``emit(off, flat)`` writing each
+    doc's slots at its assigned offset — or None when the library is
+    unavailable (the caller falls back to NumPy)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "delta16_lens"):
+        return None
+    N, L = dt.shape
+    dtc = np.ascontiguousarray(dt, np.int32)
+    dic = np.ascontiguousarray(di, np.float32)
+    rmc = np.ascontiguousarray(remap, np.int32)
+    idfc = np.ascontiguousarray(idf, np.float32)
+    nrmc = np.ascontiguousarray(norm, np.float32)
+    lens = np.zeros(max(N, 1), np.int64)
+    lib.delta16_lens(_ptr(dtc, ctypes.c_int32), _ptr(dic, ctypes.c_float),
+                     _ptr(rmc, ctypes.c_int32), _ptr(idfc, ctypes.c_float),
+                     _ptr(nrmc, ctypes.c_float), N, L,
+                     _ptr(lens, ctypes.c_int64))
+
+    def emit(off: np.ndarray, flat: np.ndarray) -> None:
+        offc = np.ascontiguousarray(off, np.int64)
+        assert flat.dtype == np.uint16 and flat.flags.c_contiguous
+        lib.delta16_emit(
+            _ptr(dtc, ctypes.c_int32), _ptr(dic, ctypes.c_float),
+            _ptr(rmc, ctypes.c_int32), _ptr(idfc, ctypes.c_float),
+            _ptr(nrmc, ctypes.c_float), _ptr(offc, ctypes.c_int64), N, L,
+            _ptr(flat, ctypes.c_uint16))
+
+    return lens, emit
 
 
 def csr_cap(offsets: np.ndarray, p_doc: np.ndarray, p_imp: np.ndarray,

@@ -277,4 +277,108 @@ void csr_cap(const int64_t* offsets, const int32_t* p_doc,
   (void)min_df;
 }
 
+// Delta16 pass-2 slot-stream emission (engine.py::_pack_doc_rows_delta16):
+// per valid posting, n_cont continuation slots (gap field 8191, tf 0)
+// then the real slot ((rem << 3) | tf), written at the doc's off cursor.
+// One linear pass; avoids the NumPy fallback's repeat temporaries at
+// collection scale.
+void pack_delta16(const int32_t* rem, const int32_t* tf,
+                  const int32_t* n_cont, const uint8_t* valid,
+                  const int64_t* off, int64_t N, int64_t L,
+                  uint16_t* flat) {
+  const uint16_t cont = (uint16_t)(8191u << 3);
+  for (int64_t d = 0; d < N; ++d) {
+    int64_t cursor = off[d];
+    const int64_t base = d * L;
+    for (int64_t j = 0; j < L; ++j) {
+      if (!valid[base + j]) continue;
+      for (int32_t c = 0; c < n_cont[base + j]; ++c)
+        flat[cursor++] = cont;
+      flat[cursor++] =
+          (uint16_t)(((uint32_t)rem[base + j] << 3) |
+                     ((uint32_t)tf[base + j] & 7u));
+    }
+  }
+}
+
+}  // extern "C"
+
+// Fused delta16 row transform (the collection-scale path): per doc,
+// collect the remapped (id, tf) pairs, insertion-sort by id (rows are
+// short — L <= ~64), and either count slots (pass 1) or emit them
+// (pass 2). tf is inverted exactly from the stored impact:
+// x = imp/idf = tf/(tf+norm) -> tf = norm*x/(1-x), clipped to [1, 7].
+// Replaces a NumPy fallback whose [N, L] int64/f64 temporaries at 4.19M
+// docs pushed the host into swap (485 s); this runs in one pass.
+namespace {
+constexpr int kMaxGap = 8191;
+constexpr uint16_t kCont = (uint16_t)(8191u << 3);
+
+inline int64_t d16_doc(const int32_t* dt, const float* di,
+                       const int32_t* remap, const float* idf,
+                       float norm, int64_t L, int32_t* ids, int32_t* tfs,
+                       uint16_t* out /* null = count only */) {
+  int n = 0;
+  for (int64_t j = 0; j < L; ++j) {
+    int32_t t = dt[j];
+    if (t < 0) continue;
+    int32_t r = remap[t];
+    if (r < 0) continue;  // tiny term (host-exact block covers it)
+    double x = (double)di[j] / (idf[t] > 1e-30f ? (double)idf[t] : 1e-30);
+    if (x < 0.0) x = 0.0;
+    if (x > 1.0 - 1e-9) x = 1.0 - 1e-9;
+    int tf = (int)(norm * x / (1.0 - x) + 0.5);
+    if (tf < 1) tf = 1;
+    if (tf > 7) tf = 7;
+    // insertion sort by remapped id
+    int k = n++;
+    while (k > 0 && ids[k - 1] > r) {
+      ids[k] = ids[k - 1];
+      tfs[k] = tfs[k - 1];
+      --k;
+    }
+    ids[k] = r;
+    tfs[k] = tf;
+  }
+  int64_t slots = 0;
+  int32_t prev = 0;
+  for (int i = 0; i < n; ++i) {
+    int64_t gap = ids[i] - prev;
+    int64_t nc = gap / kMaxGap;
+    int64_t rem = gap - nc * kMaxGap;
+    if (out != nullptr) {
+      for (int64_t c = 0; c < nc; ++c) out[slots + c] = kCont;
+      out[slots + nc] =
+          (uint16_t)(((uint32_t)rem << 3) | ((uint32_t)tfs[i] & 7u));
+    }
+    slots += nc + 1;
+    prev = ids[i];
+  }
+  return slots;
+}
+}  // namespace
+
+extern "C" {
+
+// Pass 1: slot counts per doc (lens drives the Python-side group
+// placement that assigns row offsets).
+void delta16_lens(const int32_t* dt, const float* di, const int32_t* remap,
+                  const float* idf, const float* norm, int64_t N, int64_t L,
+                  int64_t* lens) {
+  std::vector<int32_t> ids(L), tfs(L);
+  for (int64_t d = 0; d < N; ++d)
+    lens[d] = d16_doc(dt + d * L, di + d * L, remap, idf, norm[d], L,
+                      ids.data(), tfs.data(), nullptr);
+}
+
+// Pass 2: emit each doc's slots at its assigned offset.
+void delta16_emit(const int32_t* dt, const float* di, const int32_t* remap,
+                  const float* idf, const float* norm, const int64_t* off,
+                  int64_t N, int64_t L, uint16_t* flat) {
+  std::vector<int32_t> ids(L), tfs(L);
+  for (int64_t d = 0; d < N; ++d)
+    d16_doc(dt + d * L, di + d * L, remap, idf, norm[d], L, ids.data(),
+            tfs.data(), flat + off[d]);
+}
+
 }  // extern "C"

@@ -412,7 +412,44 @@ def _rescore_candidates(safe_ids, fields, ragged_rows, use_pallas):
     Q, C = safe_ids.shape
     total = jnp.zeros((Q, C), jnp.float32)
     for f_idx, field in enumerate(fields):
-        if len(field) == 8:
+        if len(field) == 9:
+            # DELTA16 ragged rows (engine.py::_pack_doc_rows_delta16):
+            # uint16 slots (gap13 << 3 | tf3), term ids reconstructed by
+            # a masked prefix sum over the covering rows (gaps before the
+            # segment start zeroed), impacts recomputed EXACTLY as
+            # tf/(tf + norm_d) with idf folded into the query weights and
+            # norm_d decoded from the 1-byte Lucene norm code
+            # (index.py::int4_to_long, arithmetically: (bits|8) * 2^shift).
+            (qt, qw, flat_u16, doc_off, doc_len, norm_code,
+             k1, b, avgdl) = field
+            R2 = ragged_rows[f_idx] if f_idx < len(ragged_rows) else 1
+            lanes = flat_u16.shape[1]
+            off = doc_off[safe_ids].astype(jnp.int32)  # [Q, C]
+            ln = doc_len[safe_ids].astype(jnp.int32)
+            r0 = off // lanes
+            rr = jax.lax.broadcasted_iota(jnp.int32, (Q, C, R2), 2)
+            rows = flat_u16[r0[:, :, None] + rr]  # [Q, C, R2, lanes]
+            v = rows.astype(jnp.int32)
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (Q, C, R2, lanes), 3)
+            g = (r0[:, :, None] + rr)[..., None] * lanes + lane
+            seg = (g >= off[:, :, None, None]) & (
+                g < (off + ln)[:, :, None, None])
+            gap = jax.lax.shift_right_logical(v, 3)
+            tf = (v & 7).astype(jnp.float32).reshape(Q, C, -1)
+            gap_m = jnp.where(g >= off[:, :, None, None], gap, 0)
+            ids = jnp.cumsum(gap_m.reshape(Q, C, -1), axis=-1)
+            valid = (seg & ((v & 7) > 0)).reshape(Q, C, -1)
+            code = norm_code[safe_ids].astype(jnp.int32)  # [Q, C]
+            bits = (code & 7).astype(jnp.float32)
+            shift = (code >> 3) - 1
+            dl = jnp.where(
+                shift < 0, bits,
+                (bits + 8.0) * jnp.exp2(shift.astype(jnp.float32)))
+            norm = k1 * (1.0 - b + b * dl / avgdl)  # [Q, C]
+            dt_rows = jnp.where(valid, ids, -1)
+            di_rows = jnp.where(valid, tf / (tf + norm[:, :, None]), 0.0)
+        elif len(field) == 8:
             qt, qw, flat_rows, doc_off, doc_len, term_bits, lo, step = field
             R2 = ragged_rows[f_idx] if f_idx < len(ragged_rows) else 1
             lanes = flat_rows.shape[1]

@@ -165,26 +165,10 @@ def _pack_doc_rows_ragged(
 
     valid = dt >= 0
     lens = valid.sum(axis=1).astype(np.int64)
-    off = np.zeros(max(N, 1), dtype=np.int64)
-    cursor = 0
     # place length groups in ascending-length order; within a group,
     # segments tile rows exactly (capacity lanes // L per row)
-    uniq = np.unique(lens)
-    for L in uniq.tolist():
-        idx = np.nonzero(lens == L)[0]
-        if L == 0:
-            continue
-        if L <= lanes:
-            c = lanes // L
-            r = np.arange(len(idx), dtype=np.int64)
-            off[idx] = cursor + (r // c) * lanes + (r % c) * L
-            cursor += ((len(idx) + c - 1) // c) * lanes
-        else:
-            per = ((L + lanes - 1) // lanes) * lanes
-            off[idx] = cursor + np.arange(len(idx), dtype=np.int64) * per
-            cursor += len(idx) * per
+    off, nr = _place_length_groups(lens, lanes, max(Ld, 1))
     r2 = 1 if Ld <= lanes else (Ld + lanes - 1) // lanes
-    nr = cursor // lanes + r2  # +r2 guard rows for the covering gather
     if off.max(initial=0) + Ld >= 2**31:
         raise ValueError("ragged layout exceeds int32 offsets; shard more")
 
@@ -211,6 +195,166 @@ def _pack_doc_rows_ragged(
     lens_dtype = np.uint8 if Ld < 256 else np.int32
     return (flat.reshape(nr, lanes), off.astype(np.int32),
             lens.astype(lens_dtype), term_bits, lo, step, r2)
+
+
+def _place_length_groups(lens: np.ndarray, lanes: int, max_seg: int
+                         ) -> Tuple[np.ndarray, int]:
+    """Segment-packing shared by the row layouts: docs grouped by segment
+    length in ascending order; equal-length segments tile ``lanes``-wide
+    rows exactly (no segment straddles a row boundary). Returns
+    (off [N] int64 slot offsets, total rows)."""
+    N = len(lens)
+    off = np.zeros(max(N, 1), dtype=np.int64)
+    cursor = 0
+    for L in np.unique(lens).tolist():
+        idx = np.nonzero(lens == L)[0]
+        if L == 0:
+            continue
+        if L <= lanes:
+            c = lanes // L
+            r = np.arange(len(idx), dtype=np.int64)
+            off[idx] = cursor + (r // c) * lanes + (r % c) * L
+            cursor += ((len(idx) + c - 1) // c) * lanes
+        else:
+            per = ((L + lanes - 1) // lanes) * lanes
+            off[idx] = cursor + np.arange(len(idx), dtype=np.int64) * per
+            cursor += len(idx) * per
+    r2 = 1 if max_seg <= lanes else (max_seg + lanes - 1) // lanes
+    return off, cursor // lanes + r2
+
+
+DELTA16_GAP_BITS = 13          # slot = (gap13 << 3) | tf3
+DELTA16_MAX_GAP = (1 << DELTA16_GAP_BITS) - 1  # 8191
+DELTA16_TF_CAP = 7             # tf saturates (tfNorm ~flat past it)
+DELTA16_CONT = np.uint16(DELTA16_MAX_GAP << 3)  # continuation: tf=0
+
+
+def _nontiny_remap(df: np.ndarray, tiny_cap: int
+                   ) -> Tuple[np.ndarray, int]:
+    """Dense df-DESCENDING remap of the non-tiny (df > tiny_cap) terms:
+    remap[orig] in [0, T') for non-tiny terms, -1 otherwise. Frequent
+    terms get SMALL ids, so a document's sorted remapped ids cluster low
+    and the within-doc gaps the delta16 rows store stay mostly under the
+    13-bit field."""
+    nont = df > tiny_cap
+    Tp = int(nont.sum())
+    remap = np.full(len(df), -1, np.int64)
+    order = np.argsort(-df[nont], kind="stable")
+    ids = np.empty(Tp, np.int64)
+    ids[order] = np.arange(Tp)
+    remap[nont] = ids
+    return remap, Tp
+
+
+def _pack_doc_rows_delta16(
+    dt: np.ndarray,   # [N, L] left-packed term ids (tiny already dropped)
+    di: np.ndarray,   # [N, L] f32 impacts
+    remap: np.ndarray,  # [V] orig -> dense df-desc id, -1 = absent
+    idf: np.ndarray,    # [V] f32 (original id space)
+    norm: np.ndarray,   # [N] f32 per-doc k1*(1-b+b*dl/avgdl)
+    lanes: int = 128,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """DELTA-ENCODED 16-bit pass-2 rows (VERDICT r3 #1 — the equal-memory
+    push): ~2 B per real posting instead of the 4 B packed-int32 slots.
+
+    Per document, the surviving terms are sorted by their dense
+    df-descending remapped id and stored as GAPS: one uint16 slot
+    ``(gap13 << 3) | min(tf, 7)`` per posting, preceded by ``gap // 8191``
+    continuation slots (tf = 0, gap field = 8191) when a gap overflows
+    the field — real terms always have tf >= 1, so tf == 0 marks
+    continuations unambiguously. The device reconstructs term ids with a
+    masked prefix sum over the gathered covering rows and recomputes each
+    matched impact EXACTLY as ``idf(t) * tf / (tf + norm_d)`` — idf rides
+    the (remapped) query weights, ``norm_d`` comes from a 1-byte Lucene
+    norm code per doc — so pass-2 scores are exact f32 BM25 for tf <= 7
+    (finer than the 12-bit log codes this replaces; tf > 7 saturates,
+    where tfNorm is within ~5% of flat anyway). Same covering-row gather
+    cost model as the packed-int32 layout, at half the gather bytes.
+
+    Lucene's delta-vint postings (~2 B/posting) are the memory bar
+    (SURVEY §2.7); fixed 16-bit gap-coded slots are the TPU-streamable
+    equivalent (no variable-width decode on the lane axis).
+
+    Returns (flat [NR, lanes] uint16, off [N] int32 slot offsets,
+    lens [N] uint8|int32 slot counts, r2 covering rows).
+    """
+    N, L = dt.shape
+    from ..native import delta16_rows as native_delta16
+
+    res = native_delta16(dt, di, remap.astype(np.int32), idf, norm)
+    if res is not None:
+        lens, emit = res
+        max_seg = int(lens.max(initial=0))
+        off, nr = _place_length_groups(lens, lanes, max(max_seg, 1))
+        if off.max(initial=0) + max_seg >= 2**31:
+            raise ValueError(
+                "delta16 layout exceeds int32 offsets; shard more")
+        flat = np.zeros(nr * lanes, dtype=np.uint16)
+        emit(off, flat)
+        r2 = 1 if max_seg <= lanes else (max_seg + lanes - 1) // lanes
+        lens_dtype = np.uint8 if max_seg < 256 else np.int32
+        return (flat.reshape(nr, lanes), off.astype(np.int32),
+                lens.astype(lens_dtype), r2)
+
+    valid = dt >= 0
+    rm = np.where(valid, remap[np.maximum(dt, 0)], np.int64(2**62))
+    if valid.any() and int(rm[valid].min()) < 0:
+        raise ValueError("delta16 rows require tiny terms dropped first")
+    order = np.argsort(rm, axis=1, kind="stable")
+    rm_s = np.take_along_axis(rm, order, axis=1)
+    di_s = np.take_along_axis(di, order, axis=1)
+    orig_s = np.take_along_axis(dt, order, axis=1)
+    v_s = rm_s < 2**62
+
+    # exact tf back out of the impact: x = imp/idf = tf/(tf+norm)
+    idf_s = idf[np.maximum(orig_s, 0)].astype(np.float64)
+    x = np.where(v_s, di_s / np.maximum(idf_s, 1e-30), 0.0)
+    x = np.clip(x, 0.0, 1.0 - 1e-9)
+    tf = np.rint(norm[:, None] * x / (1.0 - x)).astype(np.int64)
+    tf = np.clip(tf, 1, DELTA16_TF_CAP)
+
+    prev = np.concatenate(
+        [np.zeros((N, 1), np.int64), rm_s[:, :-1]], axis=1)
+    gaps = np.where(v_s, rm_s - np.where(v_s, prev, 0), 0)
+    # first valid slot's gap is the id itself; later prev is valid too
+    n_cont = gaps // DELTA16_MAX_GAP
+    rem = gaps - n_cont * DELTA16_MAX_GAP  # in [0, MAX_GAP)
+    slots_per = np.where(v_s, 1 + n_cont, 0)
+    lens = slots_per.sum(axis=1)
+    max_seg = int(lens.max(initial=0))
+
+    off, nr = _place_length_groups(lens, lanes, max(max_seg, 1))
+    if off.max(initial=0) + max_seg >= 2**31:
+        raise ValueError("delta16 layout exceeds int32 offsets; shard more")
+
+    from ..native import pack_delta16 as native_pack_delta16
+
+    flat = np.full(nr * lanes, 0, dtype=np.uint16)
+    if not native_pack_delta16(rem, tf, n_cont, v_s, off, flat):
+        # slot stream: per posting, n_cont continuations then the real
+        # slot — built with one repeat + last-of-group test
+        pv, jv = np.nonzero(v_s)
+        reps = slots_per[pv, jv]
+        tot = int(reps.sum())
+        pidx = np.repeat(np.arange(len(pv)), reps)
+        ends = np.cumsum(reps)
+        is_real = np.arange(tot) == np.repeat(ends - 1, reps)
+        vals = np.where(
+            is_real,
+            (rem[pv, jv][pidx].astype(np.uint32) << 3)
+            | tf[pv, jv][pidx].astype(np.uint32),
+            np.uint32(DELTA16_CONT)).astype(np.uint16)
+        # slot position within its doc: global slot index minus the
+        # doc's first slot's global index (slots are doc-major)
+        doc_of_slot = pv[pidx]
+        first_global = np.repeat(
+            np.cumsum(lens) - lens, lens.astype(np.int64))
+        slot_in_doc = np.arange(tot) - first_global
+        flat[off[doc_of_slot] + slot_in_doc] = vals
+    r2 = 1 if max_seg <= lanes else (max_seg + lanes - 1) // lanes
+    lens_dtype = np.uint8 if max_seg < 256 else np.int32
+    return (flat.reshape(nr, lanes), off.astype(np.int32),
+            lens.astype(lens_dtype), r2)
 
 
 def _term_scale_from_csr(index: BM25Index, code_bits: int
@@ -283,6 +427,7 @@ class RetrievalEngine:
         tiny_df_cap: int = 64,
         tiny_width: int = 0,
         tiny_pack: bool = True,
+        row_layout: str = "auto",  # delta16 | packed32 | auto
     ):
         self.text_index = text_index
         self.title_index = title_index
@@ -321,6 +466,22 @@ class RetrievalEngine:
                          if self.compact_rows else 0)
         self.tiny_width = tiny_width
         self._want_tiny_pack = tiny_pack
+        # text-field pass-2 row layout: "delta16" = gap-coded uint16 slots
+        # (~2 B/posting, exact tfNorm reconstruction — needs the index's
+        # stored doc lengths + Lucene norm quantization), "packed32" =
+        # (code << term_bits | term) int32 slots, "auto" = delta16 when
+        # the index supports it
+        if row_layout not in ("auto", "delta16", "packed32"):
+            raise ValueError(f"unknown row_layout {row_layout!r}")
+        d16_ok = (text_index.doc_dl is not None
+                  and text_index.params.quantize_norms)
+        if row_layout == "delta16" and not d16_ok:
+            raise ValueError(
+                "row_layout='delta16' needs an index built with stored "
+                "doc lengths and quantize_norms=True")
+        self._row_d16 = (mode == "pruned" and row_layout != "packed32"
+                         and d16_ok)
+        self._d16_remap: Optional[np.ndarray] = None
         # tiny-block upload packing: one int32 per (doc, exact-sum) entry,
         # (log_code << docbits) | doc, when enough code bits remain. The
         # remote tunnel moves ~70 MB/s, so halving the block halves the
@@ -384,22 +545,53 @@ class RetrievalEngine:
                 if self.compact_rows and name == "text":
                     dt_rows, di_rows = _drop_tiny_slots(
                         dt, di, idx.csr[3], self.tiny_cap)
-                idx_for_scale = (self.text_index if name == "text"
-                                 else self.title_index)
-                code_bits = 32 - max(int(np.ceil(
-                    np.log2(len(idx.vocab) + 2))), 1)
-                term_lo, t_step = _term_scale_from_csr(
-                    idx_for_scale, code_bits)
-                self._term_lo[name] = term_lo
+                d16 = self._row_d16 and name == "text"
+                if d16:
+                    # delta16 layout: dense df-desc remap + per-doc norm
+                    # codes (host f32 norms drive the exact tf inversion)
+                    from .index import long_to_int4
+                    remap, _tp = _nontiny_remap(
+                        idx.csr[3],
+                        self.tiny_cap if self.compact_rows else 0)
+                    self._d16_remap = remap
+                    p = idx.params
+                    dl = np.zeros(n_padded, np.int64)
+                    dl[: len(idx.doc_dl)] = idx.doc_dl
+                    norm = (p.k1 * (1.0 - p.b + p.b * dl / idx.avgdl)
+                            ).astype(np.float32)
+                    lut_max = int(dl.max(initial=0)) + 1
+                    lut = np.fromiter(
+                        (long_to_int4(i) for i in range(lut_max)),
+                        np.uint8, count=lut_max)
+                    normc = lut[dl]
+                    self._d16_norm = (norm, normc)
+                else:
+                    idx_for_scale = (self.text_index if name == "text"
+                                     else self.title_index)
+                    code_bits = 32 - max(int(np.ceil(
+                        np.log2(len(idx.vocab) + 2))), 1)
+                    term_lo, t_step = _term_scale_from_csr(
+                        idx_for_scale, code_bits)
+                    self._term_lo[name] = term_lo
                 if self.mesh is None:
-                    flat, off, lens, tb, lo, step, r2 = \
-                        _pack_doc_rows_ragged(dt_rows, di_rows,
-                                              len(idx.vocab),
-                                              scale=(term_lo, t_step))
-                    self._row_meta[name] = (tb, lo, step, r2)
-                    self._device_rows[name] = (
-                        jnp.asarray(flat), jnp.asarray(off),
-                        jnp.asarray(lens))
+                    if d16:
+                        flat, off, lens, r2 = _pack_doc_rows_delta16(
+                            dt_rows, di_rows, remap, idx.idf, norm)
+                        self._row_meta[name] = (
+                            "d16", float(idx.params.k1),
+                            float(idx.params.b), float(idx.avgdl), r2)
+                        self._device_rows[name] = (
+                            jnp.asarray(flat), jnp.asarray(off),
+                            jnp.asarray(lens), jnp.asarray(normc))
+                    else:
+                        flat, off, lens, tb, lo, step, r2 = \
+                            _pack_doc_rows_ragged(dt_rows, di_rows,
+                                                  len(idx.vocab),
+                                                  scale=(term_lo, t_step))
+                        self._row_meta[name] = ("p32", tb, lo, step, r2)
+                        self._device_rows[name] = (
+                            jnp.asarray(flat), jnp.asarray(off),
+                            jnp.asarray(lens))
                     # row-blocked impact-ordered PACKED CSR postings
                     # resident in HBM ((code8 << 24) | doc per int32),
                     # CAPPED at the pass-1 window depth: per-query traffic
@@ -424,33 +616,63 @@ class RetrievalEngine:
                         self._device_csr_title = (
                             jnp.asarray(off32), jnp.asarray(packed))
                 else:
-                    # sharded pruned: ragged rows per shard stacked
-                    # [S, NR, lanes] over 'data'; the per-term scale is
-                    # computed from the FULL index so every shard encodes
-                    # consistently and the jitted closure sees one step
+                    # sharded pruned: rows per shard stacked [S, NR, lanes]
+                    # over 'data'; scales/remaps come from the FULL index
+                    # so every shard encodes consistently and the jitted
+                    # closure sees one set of constants
                     S, ss = self.n_shards, self._shard_size
-                    parts = [
-                        _pack_doc_rows_ragged(
-                            dt_rows[s * ss:(s + 1) * ss],
-                            di_rows[s * ss:(s + 1) * ss],
-                            len(idx.vocab), scale=(term_lo, t_step))
-                        for s in range(S)
-                    ]
-                    tb, r2 = parts[0][3], parts[0][6]
-                    self._row_meta[name] = (tb, 0.0, t_step, r2)
-                    nr_max = max(p[0].shape[0] for p in parts)
-                    flat = np.full((S, nr_max, parts[0][0].shape[1]), -1,
-                                   np.int32)
-                    for s, p in enumerate(parts):
-                        flat[s, :p[0].shape[0]] = p[0]
-                    off = np.stack([p[1] for p in parts])
-                    lens = np.stack([p[2] for p in parts])
                     sh2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
                     sh3 = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
-                    self._device_rows[name] = (
-                        jax.device_put(flat, sh3),
-                        jax.device_put(off, sh2),
-                        jax.device_put(lens, sh2))
+                    if d16:
+                        parts = [
+                            _pack_doc_rows_delta16(
+                                dt_rows[s * ss:(s + 1) * ss],
+                                di_rows[s * ss:(s + 1) * ss],
+                                remap, idx.idf, norm[s * ss:(s + 1) * ss])
+                            for s in range(S)
+                        ]
+                        r2 = max(p[3] for p in parts)
+                        self._row_meta[name] = (
+                            "d16", float(idx.params.k1),
+                            float(idx.params.b), float(idx.avgdl), r2)
+                        # pad every shard to nr_max + r2 guard rows so the
+                        # shared jitted gather's covering reads stay in
+                        # bounds on shards with a smaller local r2
+                        nr_max = max(p[0].shape[0] for p in parts) + r2
+                        flat = np.zeros((S, nr_max, parts[0][0].shape[1]),
+                                        np.uint16)
+                        for s, p in enumerate(parts):
+                            flat[s, :p[0].shape[0]] = p[0]
+                        off = np.stack([p[1] for p in parts])
+                        lens = np.stack(
+                            [p[2].astype(np.int32) for p in parts])
+                        self._device_rows[name] = (
+                            jax.device_put(flat, sh3),
+                            jax.device_put(off, sh2),
+                            jax.device_put(lens, sh2),
+                            jax.device_put(normc.reshape(S, ss), sh2))
+                    else:
+                        parts = [
+                            _pack_doc_rows_ragged(
+                                dt_rows[s * ss:(s + 1) * ss],
+                                di_rows[s * ss:(s + 1) * ss],
+                                len(idx.vocab), scale=(term_lo, t_step))
+                            for s in range(S)
+                        ]
+                        tb, r2 = parts[0][3], parts[0][6]
+                        self._row_meta[name] = ("p32", tb, 0.0, t_step, r2)
+                        nr_max = max(p[0].shape[0] for p in parts)
+                        flat = np.full(
+                            (S, nr_max, parts[0][0].shape[1]), -1,
+                            np.int32)
+                        for s, p in enumerate(parts):
+                            flat[s, :p[0].shape[0]] = p[0]
+                        off = np.stack([p[1] for p in parts])
+                        lens = np.stack([p[2] for p in parts])
+                        self._device_rows[name] = (
+                            jax.device_put(flat, sh3),
+                            jax.device_put(off, sh2),
+                            jax.device_put(lens, sh2))
                     idx_obj = (self.text_index if name == "text"
                                else self.title_index)
                     csr, scale = self._build_shard_csr(dt, di, idx_obj)
@@ -761,10 +983,9 @@ class RetrievalEngine:
             if self.mesh is not None and self.n_shards > 1:
                 tiny_sharded, t_cols = self._slice_tiny_per_shard(
                     t_doc, t_ex)
-                segs += [np.ascontiguousarray(q_terms, np.int32),
-                         self._fold_weights(q_terms, q_weights,
-                                            "text").view(np.int32)]
-                lqs = [q_terms.shape[1]]
+                tq, tw, tl = self._text_query_block(q_terms, q_weights)
+                segs += [tq, tw]
+                lqs = [tl]
                 for (ft, fw) in extra_fields:
                     segs.append(np.ascontiguousarray(ft, np.int32))
                     segs.append(self._fold_weights(
@@ -823,15 +1044,54 @@ class RetrievalEngine:
                          np.ascontiguousarray(scale).view(np.int32)]
             elif t_cols:
                 segs += [t_doc, (-t_ex).view(np.int32)]
-        segs += [np.ascontiguousarray(q_terms, np.int32),
-                 self._fold_weights(q_terms, q_weights,
-                                    "text").view(np.int32)]
-        lqs = [q_terms.shape[1]]
+        tq, tw, tl = self._text_query_block(q_terms, q_weights)
+        segs += [tq, tw]
+        lqs = [tl]
         for (ft, fw) in extra_fields:
             segs.append(np.ascontiguousarray(ft, np.int32))
             segs.append(self._fold_weights(ft, fw, "title").view(np.int32))
             lqs.append(ft.shape[1])
         return np.concatenate(segs, axis=1), tuple(lqs), t_cols, None
+
+    def _remap_queries_d16(self, qt: np.ndarray, qw: np.ndarray
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+        """Delta16 pass-2 query block: terms remapped into the dense
+        df-descending row id space with idf FOLDED INTO THE WEIGHTS (the
+        rows store only tf — matched contributions are
+        ``w * idf * tf/(tf+norm)``), then LEFT-PACKED to drop tiny/OOV
+        slots (their contributions arrive via the host-exact block /
+        never match) and bucketed to a power-of-two width — on wiki
+        sentences roughly half the distinct query terms are tiny, so the
+        compaction halves the pass-2 compare loop."""
+        Q, L = qt.shape
+        safe = np.maximum(qt, 0)
+        q2 = np.where(qt >= 0, self._d16_remap[safe], -1)
+        w2 = (qw * self.text_index.idf[safe]).astype(np.float32)
+        valid = q2 >= 0
+        cnt = valid.sum(axis=1)
+        W = 8
+        while W < int(cnt.max(initial=1)):
+            W *= 2
+        W = min(W, L)
+        out_t = np.full((Q, W), -1, np.int32)
+        out_w = np.zeros((Q, W), np.float32)
+        rows, _ = np.nonzero(valid)
+        pos = (np.cumsum(valid, axis=1) - 1)[valid]
+        out_t[rows, pos] = q2[valid]
+        out_w[rows, pos] = w2[valid]
+        return out_t, out_w
+
+    def _text_query_block(self, qt: np.ndarray, qw: np.ndarray
+                          ) -> Tuple[np.ndarray, np.ndarray, int]:
+        """The text field's (term-id, weight) segment of the packed query
+        upload, in the layout the engine's pass-2 rows expect."""
+        if self._row_d16:
+            qt2, qw2 = self._remap_queries_d16(qt, qw)
+            return (np.ascontiguousarray(qt2, np.int32),
+                    np.ascontiguousarray(qw2).view(np.int32), qt2.shape[1])
+        return (np.ascontiguousarray(qt, np.int32),
+                self._fold_weights(qt, qw, "text").view(np.int32),
+                qt.shape[1])
 
     def _fold_weights(self, qt: np.ndarray, qw: np.ndarray,
                       field: str) -> np.ndarray:
@@ -983,7 +1243,8 @@ class RetrievalEngine:
         use_pal = self.use_pallas
         field_names = ["text", "title"][: len(lqs)]
         row_meta = [self._row_meta[n] for n in field_names]
-        r2s = tuple(m[3] for m in row_meta)
+        r2s = tuple(m[4] for m in row_meta)
+        arity = [4 if m[0] == "d16" else 3 for m in row_meta]
         # entity-boosted queries pool candidates from the title CSR too
         # (bool.should reaches a doc through ANY field); the packed query
         # then carries TWO rare blocks, and a doc can appear once per
@@ -1027,14 +1288,23 @@ class RetrievalEngine:
                 tiny = (t_doc, t_ex)
                 pos += 2 * t_cols
             fields = []
+            a0 = 0
             for f, lq in enumerate(lqs):
                 qt = packed[:, pos: pos + lq]
                 qw = jax.lax.bitcast_convert_type(
                     packed[:, pos + lq: pos + 2 * lq], jnp.float32)
                 pos += 2 * lq
-                tb, lo, step, _ = row_meta[f]
-                flat, off, lens = row_arrays[3 * f: 3 * f + 3]
-                fields.append((qt, qw, flat, off, lens, tb, lo, step))
+                meta = row_meta[f]
+                if meta[0] == "d16":
+                    _, k1, b, avgdl, _ = meta
+                    flat, off, lens, normc = row_arrays[a0: a0 + 4]
+                    fields.append((qt, qw, flat, off, lens, normc,
+                                   k1, b, avgdl))
+                else:
+                    _, tb, lo, step, _ = meta
+                    flat, off, lens = row_arrays[a0: a0 + 3]
+                    fields.append((qt, qw, flat, off, lens, tb, lo, step))
+                a0 += arity[f]
             return rares, tiny, tuple(fields)
 
         def pooled_topk(rares, tiny, csrs, fields, n_docs):
@@ -1137,8 +1407,13 @@ class RetrievalEngine:
         csr_spec = (P(DATA_AXIS, None), P(DATA_AXIS, None, None)
                     ) * n_rare_blocks
         # per field: flat rows [S, NR, lanes], off [S, ss], lens [S, ss]
-        row_spec = (P(DATA_AXIS, None, None), P(DATA_AXIS, None),
-                    P(DATA_AXIS, None)) * len(lqs)
+        # (+ norm codes [S, ss] for the delta16 layout)
+        row_spec = tuple(
+            spec
+            for a in arity
+            for spec in ((P(DATA_AXIS, None, None), P(DATA_AXIS, None),
+                          P(DATA_AXIS, None))
+                         + ((P(DATA_AXIS, None),) if a == 4 else ())))
         tiny_spec = ((P(DATA_AXIS, None, None),) if sharded_tiny else ())
         run = jax.jit(jax.shard_map(
             shard_fn,

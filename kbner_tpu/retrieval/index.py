@@ -154,6 +154,7 @@ class BM25Index:
         avgdl: float,
         params: BM25Params,
         analyzer: Callable[[str], List[str]] = standard_analyze,
+        doc_dl: Optional[np.ndarray] = None,
     ):
         self.vocab = vocab
         self.idf = idf
@@ -163,6 +164,11 @@ class BM25Index:
         self.avgdl = avgdl
         self.params = params
         self.analyzer = analyzer
+        # per-doc BM25 length-norm doc length (the quantized value when
+        # params.quantize_norms): lets the engine's delta16 row layout
+        # recompute tfNorm exactly on device from a 3-bit tf + the 1-byte
+        # Lucene norm code instead of storing a quantized impact per slot
+        self.doc_dl = doc_dl
         self._csr = None  # lazy (offsets, postings_doc, postings_imp, df)
         self._vocab_keys = None  # lazy sorted key array for batch lookup
 
@@ -442,7 +448,7 @@ class BM25Index:
         doc_impacts[doc_of_run[keep], pos[keep]] = impact[keep]
 
         return cls(vocab, idf, doc_terms, doc_impacts, n_docs, avgdl, params,
-                   analyzer)
+                   analyzer, doc_dl=np.asarray(dl, dtype=np.int32))
 
     # -- queries --------------------------------------------------------------
 
@@ -569,6 +575,7 @@ class BM25Index:
                     "n_docs": self.n_docs,
                     "avgdl": self.avgdl,
                     "params": dataclasses.asdict(self.params),
+                    "doc_dl": self.doc_dl,
                 },
                 f,
                 protocol=4,
@@ -585,7 +592,7 @@ class BM25Index:
             vocab=d["vocab"], idf=d["idf"], doc_terms=d["doc_terms"],
             doc_impacts=d["doc_impacts"], n_docs=d["n_docs"],
             avgdl=d["avgdl"], params=BM25Params(**d["params"]),
-            analyzer=analyzer,
+            analyzer=analyzer, doc_dl=d.get("doc_dl"),
         )
 
     # -- reference scoring (oracle) -------------------------------------------

@@ -411,7 +411,7 @@ def test_packed_kernel_matches_two_operand(corpus_index):
     docs, index = corpus_index
     eng = RetrievalEngine(index, mode="pruned", rare_terms=12,
                           posting_budget=4096, n_candidates=128,
-                          compact_rows=False)
+                          compact_rows=False, row_layout="packed32")
     rng = np.random.RandomState(3)
     queries = [docs[i] for i in rng.randint(0, len(docs), 8)]
     qt, qw = index.encode_queries(queries)
@@ -422,7 +422,7 @@ def test_packed_kernel_matches_two_operand(corpus_index):
                                       eng.per_term_cap, lo, step)
     keys = gather_pruned_candidate_keys(jnp.asarray(rare), off, pk,
                                         eng.per_term_cap)
-    tb, rlo, rstep, r2 = eng._row_meta["text"]
+    _tag, tb, rlo, rstep, r2 = eng._row_meta["text"]
     flat, doff, dlen = eng._device_rows["text"]
     qwf = eng._fold_weights(qt, qw, "text")
     fields = ((jnp.asarray(qt), jnp.asarray(qwf), flat, doff, dlen, tb,
