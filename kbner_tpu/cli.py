@@ -327,6 +327,8 @@ def _build_ace(config):
     ]
     specs = []
     bpe_vocab = None
+    pending_weights = []  # (member index, weight file) to splice post-init
+    use_elmo_bytes = False
     for i, e in enumerate(emb_specs):
         kind = e.get("type", "word")
         if kind == "word":
@@ -349,12 +351,36 @@ def _build_ace(config):
                     embed_dim=e.get("embed_dim", 16), hidden=hidden),
                 2 * hidden))
         elif kind == "elmo":
+            # cell_dim switches to the bilm-tf-faithful topology whose
+            # params real elmo_*_weights.hdf5 files import into
+            # (ELMoEmbedder.load_hdf5; reference embeddings.py:677-772);
+            # char_vocab_size may be pinned to the file's table size
+            kw = {}
+            if e.get("filters"):
+                kw["filters"] = tuple(
+                    (int(w), int(c)) for w, c in e["filters"])
+            if e.get("n_highway") is not None:
+                kw["n_highway"] = int(e["n_highway"])
+            if e.get("char_encoding") == "elmo_bytes":
+                # allennlp byte scheme — what real weight files' char
+                # tables expect; flows through elmo_char_ids arrays
+                from .data.encode import ELMO_CHAR_VOCAB
+                kw["input_key"] = "elmo_char_ids"
+                e.setdefault("char_vocab_size", ELMO_CHAR_VOCAB)
+                use_elmo_bytes = True
             mod = ELMoEmbedder(
-                char_vocab_size=len(char_vocab),
+                char_vocab_size=e.get("char_vocab_size", len(char_vocab)),
                 char_dim=e.get("char_dim", 16),
                 proj_dim=e.get("proj_dim", 16),
                 num_layers=e.get("num_layers", 2),
-                mode=e.get("mode", "all"))
+                mode=e.get("mode", "all"),
+                cell_dim=e.get("cell_dim"),
+                conv_activation=e.get(
+                    "conv_activation",
+                    "relu" if e.get("cell_dim") else "tanh"),
+                **kw)
+            if e.get("weights"):
+                pending_weights.append((len(specs), str(e["weights"])))
             specs.append(EmbedderSpec(f"elmo{i}", mod, mod.out_dim))
         elif kind == "bpemb":
             if bpe_vocab is None:
@@ -383,16 +409,30 @@ def _build_ace(config):
         word_dropout=config.model.get("word_dropout", 0.05))
     sample = corpus.train[:2]
     eb = encode_batch(sample, tokenizer, tag_dict, tag_layer=config.tag_layer)
-    add_classic_features(eb, word_vocab, char_vocab, bpe_vocab=bpe_vocab)
+    add_classic_features(eb, word_vocab, char_vocab, bpe_vocab=bpe_vocab,
+                         elmo_bytes=use_elmo_bytes)
     arrays = {k: jnp.asarray(v) for k, v in eb.arrays().items()}
     model, params = init_stacked_tagger(
         tagger_cfg, specs, jax.random.PRNGKey(0), arrays)
+    for member_idx, wpath in pending_weights:
+        # splice the pretrained ELMo weights into the member's param
+        # subtree (the stack names its tuple members members_{i};
+        # hdf5 = bilm-tf layout, npz = ours)
+        key = f"members_{member_idx}"
+        sub = params["params"]["stack"][key]
+        if wpath.endswith((".hdf5", ".h5")):
+            loaded = ELMoEmbedder.load_hdf5(wpath, sub)
+        else:
+            loaded = ELMoEmbedder.load_npz(wpath, sub)
+        params["params"]["stack"][key] = loaded
+        logging.info("loaded ELMo weights for %s from %s", key, wpath)
     trainer = FinetuneTrainer(
         model, params, corpus, tokenizer, tag_dict,
         tag_layer=config.tag_layer)
     trainer.word_vocab = word_vocab
     trainer.char_vocab = char_vocab
     trainer.bpe_vocab = bpe_vocab
+    trainer.elmo_bytes = use_elmo_bytes
     return corpus, trainer, specs
 
 

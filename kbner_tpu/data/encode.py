@@ -300,6 +300,14 @@ def build_char_vocab(records: Sequence[SentenceRecord]) -> "Dictionary":
     return vocab
 
 
+# allennlp ELMoCharacterMapper constants (raw file ids, no +1 shift):
+# utf-8 bytes 0-255, BOW=258, EOW=259, padding=260 — the char encoding
+# real elmo_*_weights.hdf5 char tables were trained against
+ELMO_BOW, ELMO_EOW, ELMO_PAD = 258, 259, 260
+ELMO_CHAR_VOCAB = 261
+ELMO_MAX_CHARS = 50
+
+
 def add_classic_features(
     eb: EncodedBatch,
     word_vocab=None,
@@ -307,6 +315,7 @@ def add_classic_features(
     max_chars_per_word: int = 16,
     max_stream_chars: int = 1024,
     bpe_vocab=None,
+    elmo_bytes: bool = False,
 ) -> EncodedBatch:
     """Attach word-id / char-id / char-stream arrays for the classic
     embedder families (word vectors, char-BiLSTM, Flair char-LM).
@@ -314,10 +323,28 @@ def add_classic_features(
     The word axis matches the batch's existing [B, W] padding. The char
     stream is the space-joined sentence with per-word first/last char
     positions for Flair-style LM extraction (embeddings.py:2271-2553).
+
+    ``elmo_bytes`` additionally emits ``elmo_char_ids``/``elmo_char_mask``
+    [B, W, 50] in allennlp's ELMoCharacterMapper byte scheme (BOW + utf-8
+    bytes + EOW, pad 260) — the encoding real ELMo weight files expect
+    (reference wrapper embeddings.py:677-772).
     """
     if eb.records is None:
         raise ValueError("add_classic_features needs eb.records")
     B, W = eb.word_mask.shape
+
+    if elmo_bytes:
+        EC = ELMO_MAX_CHARS
+        ids = np.full((B, W, EC), ELMO_PAD, dtype=np.int32)
+        mask = np.zeros((B, W, EC), dtype=np.int32)
+        for b, rec in enumerate(eb.records):
+            for w, tok in enumerate(rec.tokens[:W]):
+                row = ([ELMO_BOW] + list(tok.encode("utf-8"))[: EC - 2]
+                       + [ELMO_EOW])
+                ids[b, w, : len(row)] = row
+                mask[b, w, : len(row)] = 1
+        eb.extra["elmo_char_ids"] = ids
+        eb.extra["elmo_char_mask"] = mask
 
     if word_vocab is not None:
         word_ids = np.zeros((B, W), dtype=np.int32)

@@ -204,6 +204,47 @@ class FlairLMEmbedder(nn.Module):
         return jnp.concatenate([f, b], axis=-1)
 
 
+class ELMoLSTMPCell(nn.RNNCellBase):
+    """LSTM with projection and cell/proj clipping in tf conventions —
+    the bilm-tf cell real ELMo weights were trained with (allennlp's
+    ``_ElmoBiLm``; reference wrapper embeddings.py:677-772). One fused
+    kernel ``W_0 [input+proj, 4*cell]`` in tf gate order (i, j, f, o)
+    with forget bias 1.0 and projection ``W_P_0 [cell, proj]``, so an
+    ELMo HDF5's ``RNN_*/.../LSTMCell`` arrays import as direct copies
+    (no permutation or transpose)."""
+
+    cell_dim: int
+    proj_dim: int
+    clip: float = 3.0
+
+    @nn.compact
+    def __call__(self, carry, x):
+        c, h = carry
+        inp = jnp.concatenate([x, h], axis=-1)
+        W = self.param("W_0", nn.initializers.lecun_normal(),
+                       (inp.shape[-1], 4 * self.cell_dim))
+        B = self.param("B", nn.initializers.zeros, (4 * self.cell_dim,))
+        Wp = self.param("W_P_0", nn.initializers.lecun_normal(),
+                        (self.cell_dim, self.proj_dim))
+        z = inp @ W + B
+        i, j, f, o = jnp.split(z, 4, axis=-1)
+        c_new = (jax.nn.sigmoid(f + 1.0) * c
+                 + jax.nn.sigmoid(i) * jnp.tanh(j))
+        c_new = jnp.clip(c_new, -self.clip, self.clip)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        h_new = jnp.clip(h_new @ Wp, -self.clip, self.clip)
+        return (c_new, h_new), h_new
+
+    def initialize_carry(self, rng, input_shape):
+        batch = input_shape[:-1]
+        return (jnp.zeros(batch + (self.cell_dim,), jnp.float32),
+                jnp.zeros(batch + (self.proj_dim,), jnp.float32))
+
+    @property
+    def num_feature_axes(self) -> int:
+        return 1
+
+
 class ELMoEmbedder(nn.Module):
     """ELMo-architecture contextual embeddings (char-CNN token encoder +
     2-layer word-level bi-LSTM LM), covering the reference's
@@ -229,6 +270,19 @@ class ELMoEmbedder(nn.Module):
     proj_dim: int = 64
     num_layers: int = 2
     mode: str = "all"  # all | top | average | mix
+    # bilm-tf-faithful mode (real-ELMo weight import, VERDICT r3 #9):
+    # cell_dim switches the LM to :class:`ELMoLSTMPCell` stacks with
+    # SEPARATE fwd/bwd LMs, per-direction residual skip connections, and
+    # relu VALID-padding char convs over the embedded (pad chars
+    # included) character window — the published elmo options
+    # (cell 4096, proj 512, clip 3). None keeps the native design.
+    cell_dim: Optional[int] = None
+    conv_activation: str = "tanh"  # "relu" in bilm-tf mode
+    lstm_clip: float = 3.0
+    # batch key for the char window: "elmo_char_ids" selects the
+    # allennlp byte scheme arrays (data/encode.py::add_classic_features
+    # elmo_bytes=True) that real weight files' char tables expect
+    input_key: str = "char_ids"
 
     @property
     def out_dim(self) -> int:
@@ -238,23 +292,40 @@ class ELMoEmbedder(nn.Module):
 
     @nn.compact
     def __call__(self, batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
-        char_ids = batch["char_ids"]  # [B, W, C]
-        char_mask = batch["char_mask"].astype(bool)  # [B, W, C]
+        char_ids = batch[self.input_key]  # [B, W, C]
+        char_mask = batch[self.input_key.replace("ids", "mask")].astype(
+            bool)  # [B, W, C]
         word_mask = batch["word_mask"]  # [B, W]
         B, W, C = char_ids.shape
 
         # -- char-CNN token encoder (one batched pass over B*W words)
+        # ids clipped to the table: a char vocab narrower than the data's
+        # (e.g. a pinned real-weight table fed corpus char ids) must
+        # degrade to the clipped row, not index out of bounds (XLA OOB
+        # gathers are unspecified -> NaNs poison the whole loss)
+        char_ids = jnp.clip(char_ids, 0, self.char_vocab_size - 1)
         x = nn.Embed(self.char_vocab_size, self.char_dim, name="chars")(
             char_ids.reshape(B * W, C))  # [BW, C, E]
         m = char_mask.reshape(B * W, C)
+        act = jnp.tanh if self.conv_activation == "tanh" else nn.relu
+        bilm = self.cell_dim is not None
         pooled = []
         for width, channels in self.filters:
+            if bilm:
+                # bilm-tf semantics: VALID conv over the full embedded
+                # char window (pad chars are real embedded rows there),
+                # activation then max over positions
+                h = nn.Conv(channels, kernel_size=(width,),
+                            padding="VALID", name=f"conv{width}")(x)
+                pooled.append(jnp.max(act(h), axis=1))
+                continue
             h = nn.Conv(channels, kernel_size=(width,), padding="SAME",
                         name=f"conv{width}")(x)  # [BW, C, ch]
-            h = jnp.where(m[:, :, None], jnp.tanh(h), -jnp.inf)
+            h = jnp.where(m[:, :, None], act(h), -jnp.inf)
             pooled.append(jnp.max(h, axis=1))  # [BW, ch]
         tok = jnp.concatenate(pooled, axis=-1)
-        tok = jnp.where(m.any(-1)[:, None], tok, 0.0)  # all-pad words
+        if not bilm:
+            tok = jnp.where(m.any(-1)[:, None], tok, 0.0)  # all-pad words
         for i in range(self.n_highway):
             t = nn.sigmoid(nn.Dense(tok.shape[-1], name=f"hw_t{i}")(tok))
             h = nn.relu(nn.Dense(tok.shape[-1], name=f"hw_h{i}")(tok))
@@ -265,15 +336,36 @@ class ELMoEmbedder(nn.Module):
         # -- word-level bi-LM over the sentence
         lengths = word_mask.sum(-1)
         layers = [jnp.concatenate([tok, tok], axis=-1)]  # layer 0
-        h = tok
-        for i in range(self.num_layers):
-            fwd = nn.RNN(nn.OptimizedLSTMCell(self.proj_dim),
-                         name=f"fwd{i}")(h, seq_lengths=lengths)
-            bwd = nn.RNN(nn.OptimizedLSTMCell(self.proj_dim), reverse=True,
-                         keep_order=True, name=f"bwd{i}")(
-                h, seq_lengths=lengths)
-            layers.append(jnp.concatenate([fwd, bwd], axis=-1))
-            h = fwd + bwd  # next layer's input (residual-free, proj width)
+        if bilm:
+            # separate fwd/bwd LM stacks with per-direction residual
+            # skips — the real-ELMo topology (the native mode below
+            # shares a mixed input between directions instead)
+            h_f = h_b = tok
+            for i in range(self.num_layers):
+                # cells named on the PARENT scope (fwd{i}/W_0 ...) so the
+                # HDF5 import addresses them directly
+                cell_f = ELMoLSTMPCell(self.cell_dim, self.proj_dim,
+                                       clip=self.lstm_clip,
+                                       name=f"fwd{i}")
+                cell_b = ELMoLSTMPCell(self.cell_dim, self.proj_dim,
+                                       clip=self.lstm_clip,
+                                       name=f"bwd{i}")
+                fwd = nn.RNN(cell_f)(h_f, seq_lengths=lengths)
+                bwd = nn.RNN(cell_b, reverse=True, keep_order=True)(
+                    h_b, seq_lengths=lengths)
+                layers.append(jnp.concatenate([fwd, bwd], axis=-1))
+                h_f = fwd + h_f
+                h_b = bwd + h_b
+        else:
+            h = tok
+            for i in range(self.num_layers):
+                fwd = nn.RNN(nn.OptimizedLSTMCell(self.proj_dim),
+                             name=f"fwd{i}")(h, seq_lengths=lengths)
+                bwd = nn.RNN(nn.OptimizedLSTMCell(self.proj_dim),
+                             reverse=True, keep_order=True,
+                             name=f"bwd{i}")(h, seq_lengths=lengths)
+                layers.append(jnp.concatenate([fwd, bwd], axis=-1))
+                h = fwd + bwd  # next layer's input (shared, proj width)
 
         if self.mode == "all":
             out = jnp.concatenate(layers, axis=-1)
@@ -315,6 +407,85 @@ class ELMoEmbedder(nn.Module):
         plain = flax.core.unfreeze(like_params) if hasattr(
             flax.core, "unfreeze") else dict(like_params)
         return _walk(plain, [])
+
+    @staticmethod
+    def load_hdf5(path, like_params):
+        """Import REAL ELMo weights — the bilm-tf HDF5 layout allennlp
+        consumes (``elmo_*_weights.hdf5``; the reference stacks them via
+        ``ELMoEmbeddings``, embeddings.py:677-772) — into a bilm-mode
+        embedder's param tree (VERDICT r3 #9).
+
+        Direct copies throughout: the bilm-mode module is defined in tf
+        conventions (fused tf-gate-order LSTMP kernels, carry/transform
+        highway, [in, out] dense kernels), so the only transform is
+        squeezing the conv kernels' leading singleton. Every array is
+        shape-checked against ``like_params`` — init the module first
+        with char_vocab_size/filters/n_highway/proj_dim/cell_dim/
+        num_layers matching the weight file's options.json.
+
+        HDF5 keys consumed: ``char_embed``, ``CNN/W_cnn_i|b_cnn_i``,
+        ``CNN_high_k/W_carry|b_carry|W_transform|b_transform``,
+        ``CNN_proj/W_proj|b_proj``,
+        ``RNN_{0,1}/RNN/MultiRNNCell/Cell{L}/LSTMCell/W_0|B|W_P_0``
+        (RNN_0 = forward LM, RNN_1 = backward).
+        """
+        import h5py
+
+        wrap = isinstance(like_params, dict) and "params" in like_params
+        base = like_params["params"] if wrap else like_params
+
+        def _plain(t):
+            if hasattr(t, "items"):
+                return {k: _plain(v) for k, v in t.items()}
+            return t
+
+        p = _plain(base)
+
+        with h5py.File(path, "r") as f:
+            def put(dst_path, arr):
+                node = p
+                for k in dst_path[:-1]:
+                    node = node[k]
+                want = tuple(node[dst_path[-1]].shape)
+                arr = jnp.asarray(np.asarray(arr), jnp.float32)
+                if tuple(arr.shape) != want:
+                    raise ValueError(
+                        f"{'/'.join(dst_path)}: file {tuple(arr.shape)} "
+                        f"vs model {want}")
+                node[dst_path[-1]] = arr
+
+            put(("chars", "embedding"), f["char_embed"])
+            conv_ids = sorted(
+                int(k.rsplit("_", 1)[1]) for k in f["CNN"]
+                if k.startswith("W_cnn_"))
+            for i in conv_ids:
+                W = np.asarray(f[f"CNN/W_cnn_{i}"])
+                if W.ndim == 4:  # [1, w, char_dim, ch] tf conv2d layout
+                    W = W[0]
+                w = W.shape[0]
+                put((f"conv{w}", "kernel"), W)
+                put((f"conv{w}", "bias"), f[f"CNN/b_cnn_{i}"])
+            k = 0
+            while f"CNN_high_{k}" in f:
+                g = f[f"CNN_high_{k}"]
+                put((f"hw_t{k}", "kernel"), g["W_carry"])
+                put((f"hw_t{k}", "bias"), g["b_carry"])
+                put((f"hw_h{k}", "kernel"), g["W_transform"])
+                put((f"hw_h{k}", "bias"), g["b_transform"])
+                k += 1
+            put(("proj", "kernel"), f["CNN_proj/W_proj"])
+            put(("proj", "bias"), f["CNN_proj/b_proj"])
+            for d, prefix in ((0, "fwd"), (1, "bwd")):
+                layer = 0
+                while f"RNN_{d}/RNN/MultiRNNCell/Cell{layer}" in f:
+                    g = f[f"RNN_{d}/RNN/MultiRNNCell/Cell{layer}/LSTMCell"]
+                    cp = (f"{prefix}{layer}",)
+                    put(cp + ("W_0",), g["W_0"])
+                    put(cp + ("B",), g["B"])
+                    put(cp + ("W_P_0",), g["W_P_0"])
+                    layer += 1
+
+        return {"params": p} if wrap else p
 
 
 class BPEVocab:

@@ -482,6 +482,15 @@ class RetrievalEngine:
         self._row_d16 = (mode == "pruned" and row_layout != "packed32"
                          and d16_ok)
         self._d16_remap: Optional[np.ndarray] = None
+        # NEVER-SHRINK width floors: the packed-query widths (remapped
+        # query block, tiny-exact block) bucket per batch, and a batch
+        # that happens to come out NARROWER than its predecessors would
+        # otherwise mint a fresh jit variant mid-stream (measured: one
+        # surprise 5.3 s compile inside a timed 4.19M-doc serving loop).
+        # Widths only ever grow, so variants are bounded by the handful
+        # of growth steps and the steady state is ONE compiled closure.
+        self._d16_w_floor = 0
+        self._t_cols_floor = 0
         # tiny-block upload packing: one int32 per (doc, exact-sum) entry,
         # (log_code << docbits) | doc, when enough code bits remain. The
         # remote tunnel moves ~70 MB/s, so halving the block halves the
@@ -1005,6 +1014,8 @@ class RetrievalEngine:
                 bucket = 256
                 while bucket < t_cols:
                     bucket *= 2
+                bucket = max(bucket, self._t_cols_floor)
+                self._t_cols_floor = max(self._t_cols_floor, bucket)
                 pad = bucket - t_cols
                 t_doc = np.pad(t_doc, ((0, 0), (0, pad)),
                                constant_values=-1)
@@ -1073,6 +1084,8 @@ class RetrievalEngine:
         while W < int(cnt.max(initial=1)):
             W *= 2
         W = min(W, L)
+        W = max(W, min(self._d16_w_floor, L))
+        self._d16_w_floor = max(self._d16_w_floor, W)
         out_t = np.full((Q, W), -1, np.int32)
         out_w = np.zeros((Q, W), np.float32)
         rows, _ = np.nonzero(valid)

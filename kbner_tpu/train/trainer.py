@@ -409,7 +409,9 @@ class FinetuneTrainer:
             from ..data.encode import add_classic_features
 
             add_classic_features(eb, self.word_vocab, self.char_vocab,
-                                 bpe_vocab=self.bpe_vocab)
+                                 bpe_vocab=self.bpe_vocab,
+                                 elmo_bytes=getattr(
+                                     self, "elmo_bytes", False))
         arrays = eb.arrays()
         if self.mesh is not None:
             arrays = pad_batch_for_mesh(arrays, self.mesh)
