@@ -129,11 +129,12 @@ def test_compact_rows_drop_tiny_and_memory(corpus_index):
 
 
 def test_index_memory_vs_lucene_estimate():
-    """Absolute memory gate (BASELINE 'equal index memory', VERDICT r2
-    #1): on wiki-statistics docs the pruned engine's device bytes must
-    stay within ~2x of the delta-vint Lucene estimate (2 B/posting +
-    1 B/doc norm). Measured 87.1 B/doc vs 43.3 at 4.19M docs on chip;
-    the ratio is scale-stable, so gate it at test scale too."""
+    """Absolute memory gate (BASELINE 'equal index memory'): with the
+    delta16 rows + tiny_df_cap=128 the device bytes must stay within
+    1.1x of the delta-vint Lucene estimate (2 B/posting + 1 B/doc
+    norm). Measured 41.4 B/doc vs 43.3 (0.96x) at 4.19M docs on chip;
+    the ratio is scale-stable, so gate it at test scale too
+    (VERDICT r3 #6: gates ratchet to the BASELINE targets as met)."""
     from kbner_tpu.retrieval.synth import synth_wiki_docs
 
     N = 1 << 14
@@ -141,16 +142,17 @@ def test_index_memory_vs_lucene_estimate():
     index = BM25Index.build_encoded(tok, {i: i for i in range(20_000)})
     engine = RetrievalEngine(index, mode="pruned", rare_terms=16,
                              posting_budget=6144, n_candidates=512,
-                             tiny_width=384, tiny_pack=False)
+                             tiny_width=384, tiny_pack=False,
+                             tiny_df_cap=128)
     dev_bytes = (sum(int(a.nbytes) for a in engine._device_rows["text"])
                  + sum(int(a.nbytes) for a in engine._device_csr))
     nnz = int((index.doc_terms >= 0).sum())
     lucene = 2 * nnz + N
     ratio = dev_bytes / lucene
-    assert ratio <= 2.2, (
+    assert ratio <= 1.1, (
         f"device index {dev_bytes / N:.0f} B/doc is {ratio:.2f}x the "
-        f"Lucene estimate {lucene / N:.0f} B/doc — the ragged-rows "
-        "memory contract regressed")
+        f"Lucene estimate {lucene / N:.0f} B/doc — the delta16-rows "
+        "equal-memory contract regressed")
 
     # and the memory-lean layout must still be ~exact: recall@10 vs the
     # exhaustive kernel at the same wiki statistics (bench invariant)
@@ -167,7 +169,7 @@ def test_index_memory_vs_lucene_estimate():
         doc_chunk=1 << 12)
     e_ids, p_ids = np.asarray(e_ids), np.asarray(p_ids)
     recalls = [len(set(e_ids[i]) & set(p_ids[i])) / 10 for i in range(32)]
-    assert np.mean(recalls) >= 0.985, np.mean(recalls)
+    assert np.mean(recalls) >= 0.99, np.mean(recalls)
 
 
 def test_compact_rows_exact_when_impacts_uniform():
