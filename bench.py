@@ -236,7 +236,10 @@ def bench_train_step(on_tpu: bool) -> dict:
             total_steps=10000)
         opt_l = tx_l.init(params_l)
 
-        @jax.jit
+        # donate params+opt_state: six live f32 copies of 550M params
+        # (params/grads/m/v/updates/new-params) exceed the 16 GB chip;
+        # donation lets XLA update them in place
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
         def step_l(params, opt_state, batch, key):
             def loss_fn(p):
                 return model_l.apply(p, batch, deterministic=False,

@@ -207,6 +207,94 @@ def bm25_rescore_pallas(
     )(scale, q_terms, q_weights, dt_t, dc_t)
 
 
+def _d16_rescore_kernel(qt_ref, qw_ref, rows_ref, start_ref, len_ref,
+                        norm_ref, out_ref):
+    """One (BQ, BC) delta16 rescore tile, fully in VMEM: decode the
+    gap/tf slots, reconstruct term ids with a shifted-add prefix sum
+    along the 128-lane segment, and run the statically-unrolled
+    query-term compare-accumulate on the VPU. Single pass over the
+    gathered rows — the XLA formulation re-reads the decoded [Q, C, S]
+    intermediates once per query-term slot."""
+    v = rows_ref[...]  # [BQ, BC, L] int32 (uint16 slots, zero-extended)
+    L = v.shape[2]
+    gap = jax.lax.shift_right_logical(v, 3)
+    tf = (v & 7).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 2)
+    start = start_ref[...][:, :, None]  # [BQ, BC, 1]
+    ln = len_ref[...][:, :, None]
+    gm = jnp.where(lane >= start, gap, 0)
+    ids = gm
+    sh = 1
+    while sh < L:  # Hillis-Steele inclusive prefix sum over lanes
+        ids = ids + jnp.pad(ids, ((0, 0), (0, 0), (sh, 0)))[:, :, :L]
+        sh *= 2
+    valid = (lane >= start) & (lane < start + ln) & ((v & 7) > 0)
+    tfn = tf / (tf + norm_ref[...][:, :, None])
+    di = jnp.where(valid, tfn, 0.0)
+    idm = jnp.where(valid, ids, -1)
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    # static unroll: Mosaic can't lane-dynamically slice qt_ref, and the
+    # stack cost of the unrolled masks is covered by the raised
+    # vmem_limit_bytes below
+    for w in range(qt_ref.shape[1]):
+        t = qt_ref[:, w]  # [BQ]
+        m = idm == t[:, None, None]
+        acc = acc + qw_ref[:, w][:, None] * jnp.sum(
+            jnp.where(m, di, 0.0), axis=2)
+    out_ref[...] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_c"))
+def delta16_rescore_pallas(
+    q_terms: jnp.ndarray,   # [Q, W] int32 remapped ids (-1 = no match)
+    q_weights: jnp.ndarray,  # [Q, W] f32 idf-folded weights
+    rows: jnp.ndarray,      # [Q, C, L] int32 gathered delta16 slots
+    seg_start: jnp.ndarray,  # [Q, C] int32 lane offset of the segment
+    seg_len: jnp.ndarray,   # [Q, C] int32 slot count
+    norm: jnp.ndarray,      # [Q, C] f32 per-candidate BM25 norm
+    block_q: int = 8,
+    block_c: int = 128,
+) -> jnp.ndarray:  # [Q, C]
+    """Pass-2 rescoring over DELTA16 rows as a Pallas kernel (r2 == 1
+    layouts — segments within one covering row). Numerically identical
+    to the XLA branch in :func:`_rescore_candidates` (same decode, same
+    f32 tfNorm arithmetic)."""
+    Q, W = q_terms.shape
+    _, C, L = rows.shape
+    block_q = min(block_q, Q)
+    block_c = min(block_c, C)
+    if Q % block_q or C % block_c:
+        raise ValueError(f"Q={Q}, C={C} must tile ({block_q}, {block_c})")
+    grid = (Q // block_q, C // block_c)
+    return pl.pallas_call(
+        _d16_rescore_kernel,
+        out_shape=jax.ShapeDtypeStruct((Q, C), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_q, W), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, W), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, block_c, L), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, block_c), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, block_c), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, block_c), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_q, block_c), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * Q * C * L * W, bytes_accessed=Q * C * L * 4,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(q_terms, q_weights, rows, seg_start, seg_len, norm)
+
+
 def _score_fields(
     fields: Sequence[FieldOperands],
     start: Optional[jnp.ndarray],
@@ -426,6 +514,19 @@ def _rescore_candidates(safe_ids, fields, ragged_rows, use_pallas):
             lanes = flat_u16.shape[1]
             off = doc_off[safe_ids].astype(jnp.int32)  # [Q, C]
             ln = doc_len[safe_ids].astype(jnp.int32)
+            code = norm_code[safe_ids].astype(jnp.int32)  # [Q, C]
+            bits = (code & 7).astype(jnp.float32)
+            shift = (code >> 3) - 1
+            dl = jnp.where(
+                shift < 0, bits,
+                (bits + 8.0) * jnp.exp2(shift.astype(jnp.float32)))
+            norm = k1 * (1.0 - b + b * dl / avgdl)  # [Q, C]
+            if (use_pallas and R2 == 1 and Q % 8 == 0 and C % 128 == 0):
+                r0 = off // lanes
+                rows = flat_u16[r0].astype(jnp.int32)  # [Q, C, lanes]
+                total = total + delta16_rescore_pallas(
+                    qt, qw, rows, off % lanes, ln, norm)
+                continue
             r0 = off // lanes
             rr = jax.lax.broadcasted_iota(jnp.int32, (Q, C, R2), 2)
             rows = flat_u16[r0[:, :, None] + rr]  # [Q, C, R2, lanes]
@@ -440,13 +541,6 @@ def _rescore_candidates(safe_ids, fields, ragged_rows, use_pallas):
             gap_m = jnp.where(g >= off[:, :, None, None], gap, 0)
             ids = jnp.cumsum(gap_m.reshape(Q, C, -1), axis=-1)
             valid = (seg & ((v & 7) > 0)).reshape(Q, C, -1)
-            code = norm_code[safe_ids].astype(jnp.int32)  # [Q, C]
-            bits = (code & 7).astype(jnp.float32)
-            shift = (code >> 3) - 1
-            dl = jnp.where(
-                shift < 0, bits,
-                (bits + 8.0) * jnp.exp2(shift.astype(jnp.float32)))
-            norm = k1 * (1.0 - b + b * dl / avgdl)  # [Q, C]
             dt_rows = jnp.where(valid, ids, -1)
             di_rows = jnp.where(valid, tf / (tf + norm[:, :, None]), 0.0)
         elif len(field) == 8:

@@ -214,6 +214,26 @@ def test_engine_delta16_sharded_matches_unsharded(q_index):
             np.testing.assert_allclose(s8[q][diff], s1[q][diff], rtol=1e-5)
 
 
+def test_pallas_rescore_matches_xla(q_index):
+    """The delta16 Pallas rescore tile (interpret mode on CPU) returns
+    the same top-k scores as the XLA decode branch."""
+    docs, index = q_index
+    rng = np.random.RandomState(5)
+    queries = [docs[i] for i in rng.randint(0, len(docs), 16)]
+    kw = dict(mode="pruned", rare_terms=8, posting_budget=2048,
+              n_candidates=128, tiny_df_cap=8, row_layout="delta16")
+    ex = RetrievalEngine(index, use_pallas=False, **kw)
+    ep = RetrievalEngine(index, use_pallas=True, **kw)
+    qt, qw = index.encode_queries(queries)
+    sx, ix = ex.search_encoded(qt, qw, k=10)
+    sp, ip = ep.search_encoded(qt, qw, k=10)
+    np.testing.assert_allclose(sp, sx, rtol=1e-5, atol=1e-5)
+    for q in range(len(queries)):
+        diff = ip[q] != ix[q]
+        if diff.any():  # tie swaps only
+            np.testing.assert_allclose(sp[q][diff], sx[q][diff], rtol=1e-5)
+
+
 def test_tf_saturation_bounded():
     """tf > 7 saturates: the device score understates tfNorm by the
     saturation delta only (small — tfNorm is near-flat past 7)."""
