@@ -48,6 +48,11 @@ class XLMRConfig:
     # checkpointing): trades recompute FLOPs for HBM, the standard recipe
     # for fine-tuning xlm-roberta-large on 16 GB chips
     remat: bool = False
+    # optional jax.checkpoint_policies name (e.g.
+    # "dots_with_no_batch_dims_saveable" keeps matmul outputs and only
+    # recomputes the cheap elementwise/softmax work — most of full
+    # remat's HBM saving at a fraction of its recompute FLOPs)
+    remat_policy: Optional[str] = None
 
     @classmethod
     def base(cls, **kw) -> "XLMRConfig":
@@ -181,7 +186,10 @@ class XLMREncoder(nn.Module):
         if cfg.remat:
             # static_argnums indexes the bound method's args with self at 0:
             # (self, hidden, attn_bias, deterministic) -> deterministic is 3
-            layer_cls = nn.remat(EncoderLayer, static_argnums=(3,))
+            policy = (getattr(jax.checkpoint_policies, cfg.remat_policy)
+                      if cfg.remat_policy else None)
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(3,),
+                                 policy=policy)
 
         all_hidden = [hidden] if output_hidden_states else None
         for i in range(cfg.num_layers):

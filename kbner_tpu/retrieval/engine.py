@@ -1171,8 +1171,8 @@ class RetrievalEngine:
             q_terms, q_weights, k, title_terms, title_weights)
         return self.unpack_result(out)
 
-    def search_stream(self, batches, k: int = 10, workers: int = 2,
-                      depth: int = 1):
+    def search_stream(self, batches, k: int = 10, workers: int = 3,
+                      depth: int = 2):
         """Fully pipelined pruned search over an iterable of
         ``(q_terms, q_weights)`` batches, yielding ``(scores, ids)`` per
         batch in order.
