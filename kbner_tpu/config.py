@@ -259,13 +259,20 @@ class ExperimentConfig:
         kwargs: Dict[str, Any] = {}
         if tokenizer is not None and self.tokenizer.get("type") == "hash":
             kwargs["vocab_size"] = tokenizer.vocab_size
+        # activation checkpointing (model.remat: true for xlmr-large on
+        # 16 GB chips; model.remat_policy names a jax.checkpoint_policies
+        # entry for selective remat, e.g. dots_with_no_batch_dims_saveable)
+        if "remat" in self.model:
+            kwargs["remat"] = bool(self.model["remat"])
+        if self.model.get("remat_policy"):
+            kwargs["remat_policy"] = str(self.model["remat_policy"])
         if enc == "tiny":
             return XLMRConfig.tiny(**kwargs)
         if enc == "base":
             return XLMRConfig.base(**kwargs)
         if enc == "large":
             return XLMRConfig.large(**kwargs)
-        return XLMRConfig.from_hf_config(Path(enc) / "config.json")
+        return XLMRConfig.from_hf_config(Path(enc) / "config.json", **kwargs)
 
     def make_train_config(self) -> TrainConfig:
         """The trainer's TrainConfig (DistillConfig for the KD trainer).
