@@ -427,6 +427,7 @@ class RetrievalEngine:
         tiny_df_cap: int = 64,
         tiny_width: int = 0,
         tiny_pack: bool = True,
+        tiny_f16: bool = True,
         row_layout: str = "auto",  # delta16 | packed32 | auto
     ):
         self.text_index = text_index
@@ -466,6 +467,13 @@ class RetrievalEngine:
                          if self.compact_rows else 0)
         self.tiny_width = tiny_width
         self._want_tiny_pack = tiny_pack
+        # f16 tiny-block scores (only when tiny_pack is off): the exact
+        # sums ship as two float16 per int32 column instead of one f32
+        # each — the tiny block is ~90% of the per-batch upload and the
+        # tunnel is bandwidth-bound, so this cuts the dominant transfer
+        # 25% at <= 2^-11 relative score error (vs the ~1e-4 margin the
+        # recall metric already tolerates from impact quantization)
+        self.tiny_f16 = tiny_f16
         # text-field pass-2 row layout: "delta16" = gap-coded uint16 slots
         # (~2 B/posting, exact tfNorm reconstruction — needs the index's
         # stored doc lengths + Lucene norm quantization), "packed32" =
@@ -1053,6 +1061,16 @@ class RetrievalEngine:
                     (t_doc.shape[0], 2))
                 segs += [enc.view(np.int32),
                          np.ascontiguousarray(scale).view(np.int32)]
+            elif t_cols and self.tiny_f16:
+                # two f16 exact sums per int32 column (t_cols is a
+                # power-of-two bucket >= 256, always even)
+                ex16 = np.ascontiguousarray(
+                    t_ex.astype(np.float16)).view(np.uint16)
+                pairs = ex16.reshape(
+                    t_ex.shape[0], t_cols // 2, 2).astype(np.uint32)
+                enc = np.ascontiguousarray(
+                    pairs[:, :, 0] | (pairs[:, :, 1] << 16))
+                segs += [t_doc, enc.view(np.int32)]
             elif t_cols:
                 segs += [t_doc, (-t_ex).view(np.int32)]
         tq, tw, tl = self._text_query_block(q_terms, q_weights)
@@ -1251,6 +1269,7 @@ class RetrievalEngine:
         n_cand = self.n_candidates
         with_exact = self.compact_rows
         tiny_pack = self._tiny_pack
+        tiny_f16 = self.tiny_f16
         n_real = self.text_index.n_docs
         csr_lo, csr_step = self._csr_scale
         use_pal = self.use_pallas
@@ -1294,6 +1313,19 @@ class RetrievalEngine:
                     code > 0, jnp.exp(t_lo + (code - 1.0) * t_step), 0.0)
                 tiny = (jnp.where(ex > 0, d, -1), ex)
                 pos += t_cols + 2
+            elif t_cols and tiny_f16:
+                t_doc = packed[:, pos: pos + t_cols]
+                u = packed[:, pos + t_cols: pos + t_cols + t_cols // 2]
+                lo = jax.lax.convert_element_type(u & 0xFFFF, jnp.uint16)
+                hi = jax.lax.convert_element_type(
+                    jax.lax.shift_right_logical(u, 16) & 0xFFFF,
+                    jnp.uint16)
+                ex = jnp.stack([
+                    jax.lax.bitcast_convert_type(lo, jnp.float16),
+                    jax.lax.bitcast_convert_type(hi, jnp.float16),
+                ], axis=-1).reshape(u.shape[0], t_cols).astype(jnp.float32)
+                tiny = (t_doc, ex)
+                pos += t_cols + t_cols // 2
             elif t_cols:
                 t_doc = packed[:, pos: pos + t_cols]
                 t_ex = -jax.lax.bitcast_convert_type(

@@ -128,6 +128,32 @@ def test_compact_rows_drop_tiny_and_memory(corpus_index):
     assert dt2[1, 0] == 2 and di2[1, 0] == 3.0
 
 
+def test_tiny_f16_matches_f32(corpus_index):
+    """f16 tiny-block upload (two half scores per int32 column — the
+    tiny block is ~90% of a batch's tunnel bytes) returns the same docs
+    as the f32 block, scores within f16 resolution (2^-11 relative)."""
+    docs, index = corpus_index
+    kw = dict(mode="pruned", rare_terms=12, posting_budget=4096,
+              n_candidates=128, tiny_df_cap=64, tiny_pack=False)
+    e32 = RetrievalEngine(index, tiny_f16=False, **kw)
+    e16 = RetrievalEngine(index, tiny_f16=True, **kw)
+    qt, qw = index.encode_queries([docs[i] for i in range(0, 64, 2)])
+    s32, i32 = e32.search_encoded(qt, qw, k=10)
+    s16, i16 = e16.search_encoded(qt, qw, k=10)
+    s32, i32 = np.asarray(s32), np.asarray(i32)
+    s16, i16 = np.asarray(s16), np.asarray(i16)
+    # the f16 upload is narrower than the f32 one
+    p32 = e32._pack_queries(qt, qw, ())[0]
+    p16 = e16._pack_queries(qt, qw, ())[0]
+    assert p16.shape[1] < p32.shape[1]
+    np.testing.assert_allclose(s16, s32, rtol=2e-3, atol=1e-3)
+    for q in range(len(s32)):
+        diff = i16[q] != i32[q]
+        if diff.any():  # near-tie swaps within f16 resolution only
+            np.testing.assert_allclose(s16[q][diff], s32[q][diff],
+                                       rtol=2e-3, atol=1e-3)
+
+
 def test_index_memory_vs_lucene_estimate():
     """Absolute memory gate (BASELINE 'equal index memory'): with the
     delta16 rows + tiny_df_cap=128 the device bytes must stay within
