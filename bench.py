@@ -434,6 +434,40 @@ def bench_retrieval(on_tpu: bool) -> dict:
     log(f"[bench] text path (analyze+encode+stream): {text_qps:.0f} q/s "
         f"({100.0 * text_qps / qps:.0f}% of pre-encoded)")
 
+    # MIX-track fan-out: the same raw-string batch against M language
+    # engines with all dispatches issued before any pull (the reference's
+    # wildcard *wiki_v1 msearch, generate_data.py:21-24). Per-query cost
+    # scales with M by construction; report merged queries/s at M=4.
+    mix_qps = None
+    if not SMOKE:
+        from kbner_tpu.retrieval.engine import mix_search
+
+        M_LANG = 4
+        per_n = min(N_DOCS // M_LANG, 1 << 19)
+        mix_engines = {}
+        for li in range(M_LANG):
+            idx_l = BM25Index.build_encoded(
+                tok[li * per_n:(li + 1) * per_n], vocab)
+            idx_l.vocab = index.vocab  # raw-string queries
+            idx_l._vocab_keys = None
+            mix_engines[f"l{li}"] = RetrievalEngine(
+                idx_l, mode="pruned", use_pallas=on_tpu, rare_terms=16,
+                posting_budget=6144, n_candidates=N_CAND, tiny_width=384,
+                tiny_pack=False, tiny_df_cap=128)
+        # compile warmup at the FULL batch width (the packed-query widths
+        # never shrink, so a narrow warmup would leave the timed batches
+        # to mint their own wider jit variant)
+        mix_search(mix_engines, text_batches[0], k=K)
+        t0 = time.perf_counter()
+        n_mix = 3
+        for tb in text_batches[1:1 + n_mix]:
+            out = mix_search(mix_engines, tb, k=K)
+        mix_qps = Q_BATCH * n_mix / (time.perf_counter() - t0)
+        assert len(out) == Q_BATCH and len(out[0]) == K
+        log(f"[bench] mix fan-out (M={M_LANG} engines, raw strings): "
+            f"{mix_qps:.0f} merged q/s")
+        del mix_engines
+
     # recall@10 vs the exact exhaustive kernel on one batch: a pruned hit
     # is correct if the RETURNED DOC's exact (f32) BM25 score reaches the
     # true 10th score — judging by recomputed-exact scores keeps the
@@ -482,6 +516,7 @@ def bench_retrieval(on_tpu: bool) -> dict:
     return {
         "qps": qps,
         "text_qps": round(text_qps, 1),
+        **({"mix_qps_m4": round(mix_qps, 1)} if mix_qps else {}),
         "recall_at_10": round(recall, 4),
         "exhaustive_qps": round(Q_BATCH / exact_dt, 1),
         "n_docs": N_DOCS,
