@@ -334,7 +334,11 @@ def bench_retrieval(on_tpu: bool) -> dict:
         index, mode="pruned", use_pallas=on_tpu, rare_terms=16,
         posting_budget=int(os.environ.get("BENCH_BUDGET", "6144")),
         n_candidates=N_CAND, tiny_width=384, tiny_pack=False,
-        tiny_df_cap=int(os.environ.get("BENCH_TINYCAP", "128")))
+        tiny_df_cap=int(os.environ.get("BENCH_TINYCAP", "128")),
+        # pin the packed widths so the steady state is ONE jit variant
+        # regardless of which batch compiles first (tiny_width=384
+        # buckets to 512 columns; remapped query width 32 at Ld=52)
+        tiny_cols_floor=512, d16_width_floor=32)
     # force CSR + upload completion
     jax.block_until_ready(engine._device_csr)
     upload_s = time.perf_counter() - t0
@@ -453,7 +457,11 @@ def bench_retrieval(on_tpu: bool) -> dict:
             mix_engines[f"l{li}"] = RetrievalEngine(
                 idx_l, mode="pruned", use_pallas=on_tpu, rare_terms=16,
                 posting_budget=6144, n_candidates=N_CAND, tiny_width=384,
-                tiny_pack=False, tiny_df_cap=128)
+                tiny_pack=False, tiny_df_cap=128,
+                # pin the packed widths: a timed batch wider than the
+                # warmup would otherwise mint a fresh ~5 s jit variant
+                # PER ENGINE inside the measured fan-out loop
+                tiny_cols_floor=512, d16_width_floor=32)
         # compile warmup at the FULL batch width (the packed-query widths
         # never shrink, so a narrow warmup would leave the timed batches
         # to mint their own wider jit variant)

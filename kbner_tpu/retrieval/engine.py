@@ -429,6 +429,8 @@ class RetrievalEngine:
         tiny_pack: bool = True,
         tiny_f16: bool = True,
         row_layout: str = "auto",  # delta16 | packed32 | auto
+        tiny_cols_floor: int = 0,
+        d16_width_floor: int = 0,
     ):
         self.text_index = text_index
         self.title_index = title_index
@@ -497,8 +499,12 @@ class RetrievalEngine:
         # surprise 5.3 s compile inside a timed 4.19M-doc serving loop).
         # Widths only ever grow, so variants are bounded by the handful
         # of growth steps and the steady state is ONE compiled closure.
-        self._d16_w_floor = 0
-        self._t_cols_floor = 0
+        # The explicit floors pin the widths UP FRONT (serving knob: a
+        # warmup batch narrower than live traffic would otherwise leave
+        # a multi-second jit compile to land inside the serving loop the
+        # first time a wider batch arrives).
+        self._d16_w_floor = d16_width_floor
+        self._t_cols_floor = tiny_cols_floor
         # tiny-block upload packing: one int32 per (doc, exact-sum) entry,
         # (log_code << docbits) | doc, when enough code bits remain. The
         # remote tunnel moves ~70 MB/s, so halving the block halves the
