@@ -755,10 +755,17 @@ def cmd_retrieve(args):
         # all of them and merges by score (the reference's wildcard
         # `*wiki_v1` msearch, generate_data.py:21-24). KBs are given as
         # repeated `--kb lang=path` / `--index_dir lang=dir`.
-        from .retrieval.engine import mix_search
+        from .retrieval.engine import MixEngine, mix_search
         from .retrieval.pipeline import (build_kb_from_jsonl, load_kb,
                                          sentence_query)
 
+        # text-only pruned queries go through the single-dispatch
+        # MixEngine (one concatenated device structure, one upload /
+        # dispatch / pull for all languages — the wildcard msearch's
+        # cost shape); entity-boosted (v4) or non-pruned fan-outs use
+        # the per-engine loop, which also carries the title indices
+        single_dispatch = (args.engine_mode == "pruned"
+                           and not args.with_entity)
         engines = {}
         for spec in _as_list(args.kb):
             lang, sep, path = spec.rpartition("=")
@@ -766,25 +773,43 @@ def cmd_retrieve(args):
                 lang, path = "en", spec
             ti, st, tti = build_kb_from_jsonl(path, lang=lang)
             engines[lang] = RetrievalEngine(
-                ti, store=st, title_index=tti, mode=args.engine_mode)
+                ti, store=st, title_index=tti, mode=args.engine_mode,
+                device=not single_dispatch)
         for spec in _as_list(args.index_dir):
             d = spec.split("=", 1)[-1]
             ti, st, tti, lang = load_kb(d)
             engines[lang] = RetrievalEngine(
-                ti, store=st, title_index=tti, mode=args.engine_mode)
+                ti, store=st, title_index=tti, mode=args.engine_mode,
+                device=not single_dispatch)
         if not engines:
             raise SystemExit("--route mix needs --kb lang=path / "
                              "--index_dir entries")
+        mix = None
+        if single_dispatch:
+            try:
+                mix = MixEngine(engines)
+            except ValueError as err:  # e.g. legacy index without doc_dl
+                logging.warning(
+                    "MixEngine unavailable (%s); using the per-engine "
+                    "fan-out", err)
+                engines = {lang: RetrievalEngine(
+                    e.text_index, store=e.store, title_index=e.title_index,
+                    mode=args.engine_mode)
+                    for lang, e in engines.items()}
 
         def run_search(records, entities):
             from .retrieval.fusion import extract_entities
 
             queries = [sentence_query(r, "mix") for r in records]
-            if args.with_entity and entities is None:
-                entities = [extract_entities(r) for r in records]
-            rows = mix_search(engines, queries, k=args.k,
-                              entity_queries=(entities if args.with_entity
-                                              else None))
+            if mix is not None:
+                rows = mix.search_texts(queries, k=args.k)
+            else:
+                if args.with_entity and entities is None:
+                    entities = [extract_entities(r) for r in records]
+                rows = mix_search(
+                    engines, queries, k=args.k,
+                    entity_queries=(entities if args.with_entity
+                                    else None))
             return [[doc for _, doc in row] for row in rows]
     else:
         text_index, store, title_index = _open_kb(args)

@@ -604,7 +604,7 @@ def _rescore_candidates(safe_ids, fields, ragged_rows, use_pallas):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "n_candidates", "max_dup_shifts", "use_pallas",
-                     "ragged_rows"),
+                     "ragged_rows", "topc_recall"),
 )
 def bm25_pruned_topk_packed(
     cand_keys: jnp.ndarray,  # [Q, P] uint32 (doc << 8) | code8; pad ~0
@@ -619,6 +619,8 @@ def bm25_pruned_topk_packed(
     tiny_ex: jnp.ndarray = None,   # [Q, T] f32 exact tiny sums
     use_pallas: bool = False,
     ragged_rows: Tuple[int, ...] = (),
+    rescore_id_offset: int | jnp.ndarray = 0,
+    topc_recall: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Single-key variant of :func:`bm25_pruned_topk`: every pass-1
     candidate is ONE uint32 ``(doc << 8) | code8`` (pad = all-ones), so
@@ -630,6 +632,23 @@ def bm25_pruned_topk_packed(
     ``tiny_ex`` exact sums matched against the selected candidates (so
     tiny-term contributions stay lossless without riding the sort as a
     second operand — the old ``exact_by_sign`` contract is gone).
+
+    ``rescore_id_offset`` (traced ok) shifts candidate doc ids ONLY for
+    the pass-2 row lookup and the returned ids: the multi-index MIX
+    engine concatenates every language's pass-2 rows into one global
+    structure (doc -> (lang, local-id) map), while pass-1 keys, the
+    ``n_real_docs`` bound, and the ``tiny_doc`` match stay language-LOCAL
+    (one language per call; the reference's wildcard ``*wiki_v1`` fan-out,
+    ``kb/generate_data.py:21-24``).
+
+    ``topc_recall`` > 0 selects the top-C candidates with
+    ``jax.lax.approx_max_k`` at that per-element recall target instead of
+    exact ``top_k``: on TPU the exact top-C lowers to a full variadic
+    (value, index) sort of the [Q, P] partials — of the same cost class
+    as the pass-1 key sort itself — while the approximate reduction is a
+    single binned pass. Missing a candidate near the top-C BOUNDARY is
+    ~harmless (C >> k: a true top-k doc sits far above the cut, and the
+    recall gate measures the end-to-end effect).
     """
     Q, P = cand_keys.shape
     SENT = jnp.uint32(0xFFFFFFFF)
@@ -654,12 +673,17 @@ def bm25_pruned_topk_packed(
     partial = jnp.where(run_start & valid, summed, -jnp.inf)
 
     C = min(n_candidates, P)
-    part_scores, pos = jax.lax.top_k(partial, C)
+    if topc_recall > 0.0:
+        part_scores, pos = jax.lax.approx_max_k(
+            partial, C, recall_target=topc_recall)
+    else:
+        part_scores, pos = jax.lax.top_k(partial, C)
     cand_ids = jnp.take_along_axis(doc, pos, axis=1)
     cand_valid = jnp.isfinite(part_scores)
     safe_ids = jnp.where(cand_valid, cand_ids, 0)
 
-    total = _rescore_candidates(safe_ids, fields, ragged_rows, use_pallas)
+    total = _rescore_candidates(
+        safe_ids + rescore_id_offset, fields, ragged_rows, use_pallas)
     if tiny_doc is not None:
         # lossless tiny contributions: match the selected candidates
         # against the host-gathered (doc, f32 sum) block. [Q, C, T]
@@ -675,7 +699,8 @@ def bm25_pruned_topk_packed(
     kk = min(k, C)
     top_scores, idx = jax.lax.top_k(total, kk)
     top_ids = jnp.take_along_axis(cand_ids, idx, axis=1)
-    top_ids = jnp.where(jnp.isfinite(top_scores), top_ids, -1)
+    top_ids = jnp.where(
+        jnp.isfinite(top_scores), top_ids + rescore_id_offset, -1)
     return top_scores, top_ids
 
 

@@ -1,6 +1,7 @@
 from .analyzer import cjk_analyze, get_analyzer, standard_analyze
 from .index import BM25Index, BM25Params, quantize_doc_length
-from .engine import DocStore, RetrievalEngine, RetrievedDoc, mix_search
+from .engine import (DocStore, MixEngine, RetrievalEngine, RetrievedDoc,
+                     mix_search)
 from .distant import (distant_supervision, match_entity_count,
                       rank_contexts_jaccard)
 from .docstore import PackedDocStore, PackedDocStoreWriter
@@ -22,6 +23,7 @@ __all__ = [
     "rank_contexts_jaccard",
     "PackedDocStore",
     "PackedDocStoreWriter",
+    "MixEngine",
     "RetrievalEngine",
     "RetrievedDoc",
     "mix_search",

@@ -431,11 +431,21 @@ class RetrievalEngine:
         row_layout: str = "auto",  # delta16 | packed32 | auto
         tiny_cols_floor: int = 0,
         d16_width_floor: int = 0,
+        device: bool = True,
+        topc_recall: float = 0.0,
     ):
         self.text_index = text_index
         self.title_index = title_index
         self.store = store
         self.mesh = mesh
+        # device=False keeps the packed index arrays on the HOST (same
+        # layouts, numpy) — the build-only mode for engines whose arrays a
+        # :class:`MixEngine` will concatenate and upload ONCE; a second
+        # per-engine device copy would double HBM. Search methods raise.
+        self.device = device
+        if not device and (mesh is not None or mode != "pruned"):
+            raise ValueError(
+                "device=False supports only the unsharded pruned engine")
         self.use_pallas = use_pallas
         self.block_d = block_d
         self.doc_chunk = doc_chunk
@@ -447,6 +457,10 @@ class RetrievalEngine:
         self.df_cap = df_cap if df_cap is not None else max(
             256, text_index.n_docs // 20)
         self.n_candidates = n_candidates
+        # > 0: pass-1 top-C candidate selection via approx_max_k at this
+        # recall target (the exact top-C is a full variadic sort on TPU —
+        # as expensive as the key sort; see ops/bm25.py::topc_recall)
+        self.topc_recall = topc_recall
         self.n_shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
 
         # pass-1 windows never read past this depth, so the device CSR is
@@ -597,6 +611,7 @@ class RetrievalEngine:
                         idx_for_scale, code_bits)
                     self._term_lo[name] = term_lo
                 if self.mesh is None:
+                    put = jnp.asarray if self.device else np.asarray
                     if d16:
                         flat, off, lens, r2 = _pack_doc_rows_delta16(
                             dt_rows, di_rows, remap, idx.idf, norm)
@@ -604,8 +619,7 @@ class RetrievalEngine:
                             "d16", float(idx.params.k1),
                             float(idx.params.b), float(idx.avgdl), r2)
                         self._device_rows[name] = (
-                            jnp.asarray(flat), jnp.asarray(off),
-                            jnp.asarray(lens), jnp.asarray(normc))
+                            put(flat), put(off), put(lens), put(normc))
                     else:
                         flat, off, lens, tb, lo, step, r2 = \
                             _pack_doc_rows_ragged(dt_rows, di_rows,
@@ -613,8 +627,7 @@ class RetrievalEngine:
                                                   scale=(term_lo, t_step))
                         self._row_meta[name] = ("p32", tb, lo, step, r2)
                         self._device_rows[name] = (
-                            jnp.asarray(flat), jnp.asarray(off),
-                            jnp.asarray(lens))
+                            put(flat), put(off), put(lens))
                     # row-blocked impact-ordered PACKED CSR postings
                     # resident in HBM ((code8 << 24) | doc per int32),
                     # CAPPED at the pass-1 window depth: per-query traffic
@@ -632,12 +645,10 @@ class RetrievalEngine:
                         min_df=(self.tiny_cap if name == "text" else 0))
                     if name == "text":
                         self._csr_scale = (clo, cstep)
-                        self._device_csr = (
-                            jnp.asarray(off32), jnp.asarray(packed))
+                        self._device_csr = (put(off32), put(packed))
                     else:
                         self._csr_scale_title = (clo, cstep)
-                        self._device_csr_title = (
-                            jnp.asarray(off32), jnp.asarray(packed))
+                        self._device_csr_title = (put(off32), put(packed))
                 else:
                     # sharded pruned: rows per shard stacked [S, NR, lanes]
                     # over 'data'; scales/remaps come from the FULL index
@@ -991,18 +1002,7 @@ class RetrievalEngine:
         t_cols = 0
         tiny_sharded = None
         if self.compact_rows:
-            t_doc, _, t_ex = self._gather_tiny_exact(q_terms, q_weights)
-            if self.tiny_width and t_doc.shape[1] > self.tiny_width:
-                # cap the block at tiny_width entries per query, keeping
-                # the LARGEST exact sums: the block pads to the batch-max
-                # width (~2.7x the median at wiki scale), so a cap cuts
-                # the dominant upload; a dropped doc loses at most the
-                # tiny_width-th largest tiny sum of its query from its
-                # score (it still pools via the rare windows)
-                W = self.tiny_width
-                idx = np.argpartition(-t_ex, W - 1, axis=1)[:, :W]
-                t_doc = np.take_along_axis(t_doc, idx, axis=1)
-                t_ex = np.take_along_axis(t_ex, idx, axis=1)
+            t_doc, t_ex = self._tiny_block(q_terms, q_weights)
             if self.mesh is not None and self.n_shards > 1:
                 tiny_sharded, t_cols = self._slice_tiny_per_shard(
                     t_doc, t_ex)
@@ -1088,6 +1088,22 @@ class RetrievalEngine:
             lqs.append(ft.shape[1])
         return np.concatenate(segs, axis=1), tuple(lqs), t_cols, None
 
+    def _tiny_block(self, q_terms: np.ndarray, q_weights: np.ndarray
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Host-gathered tiny-exact block, capped at ``tiny_width``
+        entries per query (keeping the LARGEST exact sums: the block pads
+        to the batch-max width — ~2.7x the median at wiki scale — so a
+        cap cuts the dominant upload; a dropped doc loses at most the
+        tiny_width-th largest tiny sum of its query from its score — it
+        still pools via the rare windows)."""
+        t_doc, _, t_ex = self._gather_tiny_exact(q_terms, q_weights)
+        if self.tiny_width and t_doc.shape[1] > self.tiny_width:
+            W = self.tiny_width
+            idx = np.argpartition(-t_ex, W - 1, axis=1)[:, :W]
+            t_doc = np.take_along_axis(t_doc, idx, axis=1)
+            t_ex = np.take_along_axis(t_ex, idx, axis=1)
+        return t_doc, t_ex
+
     def _remap_queries_d16(self, qt: np.ndarray, qw: np.ndarray
                            ) -> Tuple[np.ndarray, np.ndarray]:
         """Delta16 pass-2 query block: terms remapped into the dense
@@ -1156,6 +1172,10 @@ class RetrievalEngine:
         """Pruned search returning the packed [Q, 2k] DEVICE array (ids,
         then bitcast scores) — one upload, one dispatch; callers pull via
         :meth:`unpack_result` (or pipeline batches before pulling)."""
+        if not self.device:
+            raise ValueError(
+                "engine built with device=False (host arrays only) — "
+                "search through the owning MixEngine")
         extra = []
         if title_terms is not None:
             if "title" not in self._device_rows:
@@ -1273,6 +1293,7 @@ class RetrievalEngine:
 
         mesh = self.mesh
         n_cand = self.n_candidates
+        topc_recall = self.topc_recall
         with_exact = self.compact_rows
         tiny_pack = self._tiny_pack
         tiny_f16 = self.tiny_f16
@@ -1396,7 +1417,8 @@ class RetrievalEngine:
                 fields, n_real_docs=n_docs, k=k, n_candidates=n_cand,
                 max_dup_shifts=m_dup, imp_lo=rank_lo, imp_step=rank_step,
                 tiny_doc=t_doc, tiny_ex=t_ex,
-                use_pallas=use_pal, ragged_rows=r2s)
+                use_pallas=use_pal, ragged_rows=r2s,
+                topc_recall=topc_recall)
 
         def pack_result(scores, ids):
             return jnp.concatenate(
@@ -1644,3 +1666,361 @@ def mix_search(
         rows.sort(key=lambda x: -x[1].score)
         merged.append(rows[:k])
     return merged
+
+
+class MixEngine:
+    """Single-dispatch multi-index MIX-track engine (the reference's
+    wildcard ``*wiki_v1`` search: ONE ``_msearch`` fans out over all 11
+    language indices, ``kb/generate_data.py:21-24``).
+
+    :func:`mix_search`'s per-engine Python loop pays one jit compile, one
+    host->device upload, and one result pull PER LANGUAGE per batch —
+    measured on the v5e tunnel, the M transfers are ~75% of the steady
+    state and each language's closure compiles separately (minutes each
+    at wiki scale; a batch minting a fresh width variant recompiles
+    inside the serving loop). Here the M language indices live
+    CONCATENATED in one device structure with a doc -> (lang, local id)
+    map:
+
+      - pass-2 delta16 rows, slot offsets, lens, and norm codes concat
+        along the doc axis (offsets rebased to global slots),
+      - packed pass-1 CSRs concat along the row axis (per-language
+        offset tables rebased to global elements, stacked behind
+        per-language vocabulary bases),
+      - per-language scalars (avgdl, quantization scale, doc/vocab
+        bases, n_docs) ride as [M]-arrays,
+
+    and ONE jitted closure runs ``lax.scan`` over the language axis —
+    each step the same two-pass pruned search as
+    :class:`RetrievalEngine`, language-local through pass 1 and globally
+    indexed in pass 2 (``rescore_id_offset``) — then merges the
+    per-language top-k on device. One compile (size independent of M),
+    one [M, Q, W] upload, one dispatch, one [Q, 2k] pull per batch.
+
+    Memory is the SUM of the per-language packed indices (concatenation,
+    not pad-to-max): M=11 monolingual indices cost the same ~41 B/doc as
+    the flagship single-index layout. Build the per-language engines
+    with ``device=False`` so their arrays stay on the host until this
+    class uploads the concatenated structure once.
+    """
+
+    def __init__(self, engines: Dict[str, RetrievalEngine],
+                 n_candidates: int = 512,
+                 d16_width_floor: int = 64,
+                 tiny_cols_floor: int = 512,
+                 topc_recall: float = 0.0):
+        if not engines:
+            raise ValueError("MixEngine needs at least one engine")
+        self.langs = list(engines)
+        self.engines = engines
+        e0 = engines[self.langs[0]]
+        for lang, e in engines.items():
+            if e.mode != "pruned" or not e._row_d16 or not e.compact_rows:
+                raise ValueError(
+                    f"engine {lang!r}: MixEngine needs pruned mode with "
+                    "delta16 rows and compact_rows")
+            if e.mesh is not None:
+                raise ValueError(
+                    f"engine {lang!r}: MixEngine concatenates unsharded "
+                    "engines (shard the mix group over languages instead)")
+            if (e.rare_terms, e.per_term_cap) != (
+                    e0.rare_terms, e0.per_term_cap):
+                raise ValueError("engines must share pass-1 knobs "
+                                 "(rare_terms, posting budget)")
+            p, p0 = e.text_index.params, e0.text_index.params
+            if (p.k1, p.b) != (p0.k1, p0.b):
+                raise ValueError("engines must share BM25 params")
+            # one W variant per batch width: remapped query blocks of
+            # every language must come out equally wide
+            e._d16_w_floor = max(e._d16_w_floor, d16_width_floor)
+        self.rare_terms = e0.rare_terms
+        self.per_term_cap = e0.per_term_cap
+        self.n_candidates = n_candidates
+        self.topc_recall = topc_recall
+        self.use_pallas = e0.use_pallas
+        self._k1 = float(e0.text_index.params.k1)
+        self._b = float(e0.text_index.params.b)
+        self._w_floor = d16_width_floor
+        self._t_cols_floor = tiny_cols_floor
+        self._r2 = max(e._row_meta["text"][4] for e in engines.values())
+        self._mix_cache: Dict[Tuple, object] = {}
+
+        flats, offs, lenss, normcs, csr_offs, csr_pks = \
+            [], [], [], [], [], []
+        doc_base, vocab_base, f32s, i32s = [], [], [], []
+        rows = elems = docs = ventries = 0
+        lens_u8 = True
+        for lang in self.langs:
+            e = engines[lang]
+            flat, off, lens, normc = (
+                np.asarray(a) for a in e._device_rows["text"])
+            co, cp = (np.asarray(a) for a in e._device_csr)
+            doc_base.append(docs)
+            vocab_base.append(ventries)
+            flats.append(flat)
+            offs.append(off.astype(np.int64) + rows * flat.shape[1])
+            lenss.append(lens)
+            lens_u8 &= lens.dtype == np.uint8
+            normcs.append(normc)
+            csr_offs.append(co.astype(np.int64) + elems)
+            csr_pks.append(cp)
+            rows += flat.shape[0]
+            elems += cp.shape[0] * cp.shape[1]
+            docs += off.shape[0]
+            ventries += co.shape[0]
+            lo, step = e._csr_scale
+            f32s.append((float(e.text_index.avgdl), lo, step))
+            i32s.append((e.text_index.n_docs, doc_base[-1],
+                         vocab_base[-1]))
+        if max(offs[-1].max(initial=0), csr_offs[-1].max(initial=0)) \
+                >= 2**31:
+            raise ValueError("concatenated mix layout exceeds int32 "
+                             "offsets; shard the mix group")
+        self._doc_base = np.asarray(doc_base, np.int64)
+        ldt = np.uint8 if lens_u8 else np.int32
+        self._dev = tuple(jnp.asarray(a) for a in (
+            np.concatenate(flats, axis=0),
+            np.concatenate(offs).astype(np.int32),
+            np.concatenate([ln.astype(ldt) for ln in lenss]),
+            np.concatenate(normcs),
+            np.concatenate(csr_offs).astype(np.int32),
+            np.concatenate(csr_pks, axis=0),
+            np.asarray(f32s, np.float32),
+            np.asarray(i32s, np.int32),
+        ))
+
+    # -- query packing ---------------------------------------------------------
+
+    def pack_batch(self, queries: Sequence[str],
+                   max_query_terms: int = 64
+                   ) -> Tuple[np.ndarray, int, int, int]:
+        """All M languages' query encodings as ONE [M, Q, WTOT] int32
+        host array (layout per language: rare ids | tiny doc ids | f16
+        tiny-exact pairs | remapped d16 ids | bitcast idf-folded
+        weights). Q pads to a multiple of 8 (Pallas rescore tiling).
+        Returns (packed, n_queries, W, t_cols)."""
+        n_q = len(queries)
+        queries = list(queries)
+        if self.use_pallas and n_q % 8:
+            queries += [""] * (-n_q % 8)
+        per = []
+        t_max, w_max = 1, self._w_floor
+        for lang in self.langs:
+            e = self.engines[lang]
+            qt, qw = e.text_index.encode_queries(
+                queries, max_query_terms=max_query_terms)
+            rare = e._select_rare_terms(qt, df_floor=e.tiny_cap)
+            t_doc, t_ex = e._tiny_block(qt, qw)
+            qt2, qw2 = e._remap_queries_d16(qt, qw)
+            per.append((rare, t_doc, t_ex, qt2, qw2))
+            t_max = max(t_max, t_doc.shape[1])
+            w_max = max(w_max, qt2.shape[1])
+        t_cols = 256
+        while t_cols < t_max:
+            t_cols *= 2
+        t_cols = max(t_cols, self._t_cols_floor)
+        self._t_cols_floor = t_cols  # never-shrink: bound jit variants
+        Q = len(queries)
+        RM = self.rare_terms
+        wtot = RM + t_cols + t_cols // 2 + 2 * w_max
+        packed = np.empty((len(self.langs), Q, wtot), np.int32)
+        for li, (rare, t_doc, t_ex, qt2, qw2) in enumerate(per):
+            td = np.full((Q, t_cols), -1, np.int32)
+            td[:, : t_doc.shape[1]] = t_doc
+            te = np.zeros((Q, t_cols), np.float32)
+            te[:, : t_ex.shape[1]] = t_ex
+            ex16 = np.ascontiguousarray(
+                te.astype(np.float16)).view(np.uint16)
+            pairs = ex16.reshape(Q, t_cols // 2, 2).astype(np.uint32)
+            q2 = np.full((Q, w_max), -1, np.int32)
+            q2[:, : qt2.shape[1]] = qt2
+            w2 = np.zeros((Q, w_max), np.float32)
+            w2[:, : qw2.shape[1]] = qw2
+            row = packed[li]
+            row[:, :RM] = rare
+            pos = RM
+            row[:, pos: pos + t_cols] = td
+            pos += t_cols
+            row[:, pos: pos + t_cols // 2] = (
+                pairs[:, :, 0] | (pairs[:, :, 1] << 16)).view(np.int32)
+            pos += t_cols // 2
+            row[:, pos: pos + w_max] = q2
+            pos += w_max
+            row[:, pos: pos + w_max] = w2.view(np.int32)
+        return packed, n_q, w_max, t_cols
+
+    # -- device search ---------------------------------------------------------
+
+    def _mix_fn(self, k: int, W: int, t_cols: int):
+        key = (k, W, t_cols)
+        if key in self._mix_cache:
+            return self._mix_cache[key]
+        RM = self.rare_terms
+        cap = self.per_term_cap
+        r2 = self._r2
+        n_cand = self.n_candidates
+        topc_recall = self.topc_recall
+        use_pal = self.use_pallas
+        k1, b = self._k1, self._b
+        ln64 = float(np.log(64.0)) / 254.0
+        M = len(self.langs)
+
+        from ..ops.bm25 import (bm25_pruned_topk_packed,
+                                gather_pruned_candidate_keys)
+
+        @jax.jit
+        def run(packed, flat_all, off_all, lens_all, normc_all,
+                csr_off, csr_pk, f32s, i32s):
+            def body(carry, xs):
+                pq, fs, is_ = xs
+                avgdl, lo, step = fs[0], fs[1], fs[2]
+                n_real, doc_b, voc_b = is_[0], is_[1], is_[2]
+                rare = pq[:, :RM]
+                pos = RM
+                t_doc = pq[:, pos: pos + t_cols]
+                pos += t_cols
+                u = pq[:, pos: pos + t_cols // 2]
+                pos += t_cols // 2
+                qt = pq[:, pos: pos + W]
+                qw = jax.lax.bitcast_convert_type(
+                    pq[:, pos + W: pos + 2 * W], jnp.float32)
+                lo16 = jax.lax.convert_element_type(u & 0xFFFF, jnp.uint16)
+                hi16 = jax.lax.convert_element_type(
+                    jax.lax.shift_right_logical(u, 16) & 0xFFFF,
+                    jnp.uint16)
+                ex = jnp.stack([
+                    jax.lax.bitcast_convert_type(lo16, jnp.float16),
+                    jax.lax.bitcast_convert_type(hi16, jnp.float16),
+                ], axis=-1).reshape(u.shape[0], t_cols).astype(jnp.float32)
+                ex = jnp.where(t_doc >= 0, ex, 0.0)
+                rank_lo = lo
+                rank_step = step + ln64
+                rare_g = jnp.where(rare >= 0, rare + voc_b, -1)
+                keys = gather_pruned_candidate_keys(
+                    rare_g, csr_off, csr_pk, cap,
+                    reencode=True, lo_src=lo, step_src=step,
+                    lo_dst=rank_lo, step_dst=rank_step)
+                code = jnp.clip(jnp.round(
+                    (jnp.log(jnp.maximum(ex, 1e-30)) - rank_lo)
+                    / rank_step) + 1.0, 1.0, 255.0).astype(jnp.uint32)
+                ok = (t_doc >= 0) & (ex > 0)
+                tkeys = jnp.where(
+                    ok, (t_doc.astype(jnp.uint32) << 8) | code,
+                    jnp.uint32(0xFFFFFFFF))
+                fields = ((qt, qw, flat_all, off_all, lens_all,
+                           normc_all, k1, b, avgdl),)
+                scores, ids = bm25_pruned_topk_packed(
+                    jnp.concatenate([keys, tkeys], axis=1),
+                    fields, n_real_docs=n_real, k=k,
+                    n_candidates=n_cand, max_dup_shifts=RM + 1,
+                    imp_lo=rank_lo, imp_step=rank_step,
+                    tiny_doc=t_doc, tiny_ex=ex, use_pallas=use_pal,
+                    ragged_rows=(r2,), rescore_id_offset=doc_b,
+                    topc_recall=topc_recall)
+                return carry, (scores, ids)
+
+            _, (scores, ids) = jax.lax.scan(
+                body, None, (packed, f32s, i32s))
+            Q = packed.shape[1]
+            s = jnp.swapaxes(scores, 0, 1).reshape(Q, M * k)
+            i = jnp.swapaxes(ids, 0, 1).reshape(Q, M * k)
+            ts, idx = jax.lax.top_k(s, k)
+            ti = jnp.take_along_axis(i, idx, axis=1)
+            return jnp.concatenate(
+                [ti, jax.lax.bitcast_convert_type(ts, jnp.int32)], axis=1)
+
+        self._mix_cache[key] = run
+        return run
+
+    def _dispatch(self, packed_dev, k: int, W: int, t_cols: int):
+        run = self._mix_fn(k, W, t_cols)
+        return run(packed_dev, *self._dev)
+
+    # -- public API ------------------------------------------------------------
+
+    def search_texts(self, queries: Sequence[str], k: int = 10,
+                     max_query_terms: int = 64
+                     ) -> List[List[Tuple[str, RetrievedDoc]]]:
+        """MIX retrieval of raw-string queries: one upload, one dispatch,
+        one pull; results merged across languages by score (the wildcard
+        msearch's semantics)."""
+        packed, n_q, W, t_cols = self.pack_batch(
+            queries, max_query_terms=max_query_terms)
+        out = self._dispatch(jnp.asarray(packed), k, W, t_cols)
+        scores, ids = RetrievalEngine.unpack_result(out)
+        return self._materialize(scores[:n_q], ids[:n_q])
+
+    def search_texts_stream(self, query_batches, k: int = 10,
+                            workers: int = 3, depth: int = 2,
+                            max_query_terms: int = 64):
+        """Pipelined MIX serving: worker threads pack batch i+1 and start
+        its upload while the device runs batch i and the caller pulls
+        batch i-1 (same stage overlap as
+        :meth:`RetrievalEngine.search_stream`, one transfer per batch for
+        ALL languages). Yields merged per-batch results in order."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        def prep(qs):
+            packed, n_q, W, t_cols = self.pack_batch(
+                qs, max_query_terms=max_query_terms)
+            return jnp.asarray(packed), n_q, W, t_cols
+
+        it = iter(query_batches)
+        workers = max(workers, 1)
+        depth = max(depth, 1)
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            futs = []
+            for qs in it:
+                futs.append(ex.submit(prep, qs))
+                if len(futs) >= workers:
+                    break
+            if not futs:
+                return
+            pending: deque = deque()
+
+            def flush(f):
+                dev, n_q, W, t_cols = f.result()
+                pending.append(
+                    (self._dispatch(dev, k, W, t_cols), n_q))
+
+            def pull():
+                out, n_q = pending.popleft()
+                scores, ids = RetrievalEngine.unpack_result(out)
+                return self._materialize(scores[:n_q], ids[:n_q])
+
+            for nxt in it:
+                futs.append(ex.submit(prep, nxt))
+                flush(futs.pop(0))
+                if len(pending) > depth:
+                    yield pull()
+            while futs:
+                flush(futs.pop(0))
+                if len(pending) > depth:
+                    yield pull()
+            while pending:
+                yield pull()
+
+    def _materialize(self, scores: np.ndarray, ids: np.ndarray
+                     ) -> List[List[Tuple[str, RetrievedDoc]]]:
+        """Global ids -> (lang, RetrievedDoc) via the doc-base map."""
+        out: List[List[Tuple[str, RetrievedDoc]]] = []
+        for qi in range(ids.shape[0]):
+            row = []
+            for r in range(ids.shape[1]):
+                g, s = int(ids[qi, r]), float(scores[qi, r])
+                if g < 0 or s <= 0.0:
+                    continue
+                li = int(np.searchsorted(
+                    self._doc_base, g, side="right")) - 1
+                lang = self.langs[li]
+                eng = self.engines[lang]
+                d = g - int(self._doc_base[li])
+                if d >= eng.text_index.n_docs:
+                    continue
+                if eng.store is not None:
+                    row.append((lang, eng.store.materialize(d, s)))
+                else:
+                    row.append((lang, RetrievedDoc(doc_id=d, score=s)))
+            out.append(row)
+        return out
