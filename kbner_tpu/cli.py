@@ -726,10 +726,14 @@ def cmd_index(args):
 
     _setup_logging(None)
     out = Path(args.out)
+    ik_dict = getattr(args, "ik_dict", None)
+    ik_smart = bool(getattr(args, "ik_smart", False))
     text_index, store, title_index = build_kb_from_jsonl(
         args.kb, lang=args.lang, store_path=out / "kb.docs",
-        fail_path=getattr(args, "kb_fail_file", None))
-    save_kb(out, text_index, store, title_index, args.lang)
+        fail_path=getattr(args, "kb_fail_file", None),
+        ik_dict=ik_dict, ik_smart=ik_smart)
+    save_kb(out, text_index, store, title_index, args.lang,
+            ik_dict=ik_dict, ik_smart=ik_smart)
     logging.info("saved %d-doc %s index to %s",
                  text_index.n_docs, args.lang, out)
 
@@ -1326,6 +1330,16 @@ def main(argv=None):
     sp.add_argument("--out", required=True, help="index directory to write")
     sp.add_argument("--lang", default="en")
     sp.add_argument("--kb_fail_file", default=None)
+    sp.add_argument("--ik_dict", default=None,
+                    help="zh only: ik dictionary file (word per line) or "
+                         "'builtin' for the shipped ~3.5k-word lexicon; "
+                         "switches zh from char-bigram to ik_max_word "
+                         "segmentation (build_kb.py:17-22). The dict is "
+                         "copied into the index dir so reopening restores "
+                         "the exact analyzer")
+    sp.add_argument("--ik_smart", action="store_true",
+                    help="ik_smart (greedy non-overlapping) instead of "
+                         "ik_max_word emission")
     sp.set_defaults(fn=cmd_index)
 
     sp = sub.add_parser("ingest-dump")

@@ -318,16 +318,29 @@ class IkAnalyzer:
         return out
 
 
+def builtin_zh_lexicon():
+    """Path of the checked-in zh segmentation lexicon (~3.5k common
+    words) — the out-of-the-box dictionary for the production ik mode;
+    swap in a full main.dic-scale lexicon for deployment."""
+    from pathlib import Path
+
+    return Path(__file__).parent / "zh_lexicon.txt"
+
+
 def get_analyzer(lang: str = "en", dict_path=None, smart: bool = False):
     """Per-language analyzer selection (build_kb.py:17-22: zh -> ik).
 
     ``dict_path`` switches zh to the production dictionary mode
     (:class:`IkAnalyzer`, ik_max_word emission; ``smart=True`` for
-    ik_smart); without a dictionary, zh falls back to the char-bigram
-    ``cjk_analyze`` whose retrieval recall is a proven floor of any
-    dictionary segmentation (tests/test_zh_ik_coverage.py)."""
+    ik_smart). The sentinel ``"builtin"`` resolves to the shipped
+    :func:`builtin_zh_lexicon`. Without a dictionary, zh falls back to
+    the char-bigram ``cjk_analyze`` whose retrieval recall is a proven
+    floor of any dictionary segmentation
+    (tests/test_zh_ik_coverage.py)."""
     if lang == "zh":
         if dict_path is not None:
+            if dict_path == "builtin":
+                dict_path = builtin_zh_lexicon()
             return IkAnalyzer.from_file(dict_path, smart=smart)
         return cjk_analyze
     return standard_analyze

@@ -157,6 +157,8 @@ def save_kb(
     store,
     title_index: Optional[BM25Index] = None,
     lang: str = "en",
+    ik_dict: Optional[str | Path] = None,
+    ik_smart: bool = False,
 ) -> None:
     """Persist a built KB (the role of the long-lived ES index +
     ``_source`` store, ``build_kb.py``): ``text.idx``/``title.idx``
@@ -176,7 +178,21 @@ def save_kb(
             shutil.copyfile(store.path, d / "kb.docs")
     else:
         PackedDocStore.from_store(d / "kb.docs", store).close()
-    (d / "meta.json").write_text(json.dumps({"lang": lang}))
+    meta = {"lang": lang}
+    if ik_dict is not None:
+        # the segmentation dictionary is part of the index's identity:
+        # reopening with a different lexicon would tokenize queries
+        # differently from the indexed documents — copy it INTO the
+        # directory so load_kb restores the exact analyzer
+        import shutil
+
+        from .analyzer import builtin_zh_lexicon
+
+        src = builtin_zh_lexicon() if ik_dict == "builtin" else ik_dict
+        shutil.copyfile(src, d / "ik.dic")
+        meta["ik_dict"] = "ik.dic"
+        meta["ik_smart"] = bool(ik_smart)
+    (d / "meta.json").write_text(json.dumps(meta))
 
 
 def load_kb(dir_path: str | Path
@@ -188,7 +204,10 @@ def load_kb(dir_path: str | Path
     d = Path(dir_path)
     meta = json.loads((d / "meta.json").read_text())
     lang = meta.get("lang", "en")
-    analyzer = get_analyzer(lang)
+    analyzer = get_analyzer(
+        lang,
+        dict_path=(d / meta["ik_dict"] if meta.get("ik_dict") else None),
+        smart=meta.get("ik_smart", False))
     text_index = BM25Index.load(d / "text.idx", analyzer=analyzer)
     title_index = (BM25Index.load(d / "title.idx", analyzer=analyzer)
                    if (d / "title.idx").exists() else None)
@@ -206,6 +225,8 @@ def build_kb_from_jsonl(
     with_title_index: bool = True,
     store_path: Optional[str | Path] = None,
     fail_path: Optional[str | Path] = None,
+    ik_dict: Optional[str | Path] = None,
+    ik_smart: bool = False,
 ) -> Tuple[BM25Index, "DocStore | PackedDocStore", Optional[BM25Index]]:
     """Build text (+title) indices from parsed-wiki JSONL.
 
@@ -225,7 +246,7 @@ def build_kb_from_jsonl(
     """
     from .docstore import PackedDocStoreWriter, PackedDocStore
 
-    analyzer = get_analyzer(lang)
+    analyzer = get_analyzer(lang, dict_path=ik_dict, smart=ik_smart)
     sentences: List[str] = []
     titles: List[str] = []
     paragraphs: List[str] = []

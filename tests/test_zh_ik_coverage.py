@@ -169,3 +169,91 @@ def test_ik_index_retrieval_vs_bigram():
     for q in DOCS:
         assert (eng_ik.search([q], k=1)[0][0].doc_id
                 == eng_big.search([q], k=1)[0][0].doc_id)
+
+
+def test_builtin_lexicon_loads_and_segments():
+    """The shipped zh lexicon (VERDICT r4 #6): a few-thousand-word
+    facts-of-language list making the production ik mode exercisable out
+    of the box."""
+    from kbner_tpu.retrieval.analyzer import (IkAnalyzer, builtin_zh_lexicon,
+                                              get_analyzer)
+
+    ik = get_analyzer("zh", dict_path="builtin")
+    assert isinstance(ik, IkAnalyzer)
+    assert len(ik.words) >= 3000, len(ik.words)
+    assert builtin_zh_lexicon().exists()
+
+    toks = ik("北京大学的学生使用互联网研究人工智能技术")
+    for w in ("北京", "大学", "学生", "互联网", "研究", "人工智能", "技术"):
+        assert w in toks, (w, toks)
+    # mixed zh/Latin: Latin passes through the standard rules
+    toks2 = ik("Google 和百度的工程师在上海开会")
+    assert "google" in toks2 and "工程师" in toks2 and "上海" in toks2
+
+
+def test_ik_vs_bigram_ranking_delta_mixed_zh_latin():
+    """Measured ranking delta of ik_max_word (builtin lexicon) vs the
+    char-bigram fallback on mixed zh/Latin sentences: the bigram analyzer
+    emits spurious CROSS-WORD bigrams (query [北京][大学] also emits 京大,
+    which matches documents about 南京大学), narrowing the gold document's
+    score margin; the dictionary mode emits only real words. Both must
+    still retrieve the gold document (the bigram recall floor), but ik's
+    relative margin over the trap document must be strictly larger."""
+    from kbner_tpu.retrieval.analyzer import get_analyzer
+
+    docs = [
+        "北京大学的学生在 Wikipedia 上研究科学技术",      # gold
+        "南京大学的学生在 Wikipedia 上研究科学技术",      # boundary trap
+        "上海的银行支持人民币投资和金融发展",
+        "Google 的工程师在首尔开发人工智能系统",
+        "研究生活在农村的人口与经济变化",
+    ]
+    query = "北京大学的学生研究科学技术"
+    ik = get_analyzer("zh", dict_path="builtin")
+    results = {}
+    for name, analyzer in (("ik", ik), ("bigram", cjk_analyze)):
+        idx = BM25Index.build(docs, analyzer=analyzer, pad_docs_to=8)
+        eng = RetrievalEngine(idx, use_pallas=False, block_d=8)
+        res = eng.search([query], k=len(docs))[0]
+        by_id = {d.doc_id: d.score for d in res}
+        assert res[0].doc_id == 0, (name, res)  # gold top-1 under BOTH
+        results[name] = (by_id[0] - by_id[1]) / by_id[0]
+    # the measured delta: ik's gold-over-trap margin beats bigram's
+    assert results["ik"] > results["bigram"] + 0.05, results
+
+
+def test_cli_index_ik_builtin_roundtrip(tmp_path):
+    """Production wiring: `cli index --lang zh --ik_dict builtin` builds
+    an ik-analyzed KB, copies the lexicon into the index dir, and
+    `load_kb` restores the exact analyzer for serving."""
+    import json as _json
+
+    from kbner_tpu import cli
+    from kbner_tpu.retrieval.analyzer import IkAnalyzer
+    from kbner_tpu.retrieval.engine import RetrievalEngine as Eng
+    from kbner_tpu.retrieval.pipeline import load_kb
+
+    docs = [
+        "北京大学的学生研究人工智能", "上海的银行支持金融发展",
+        "Google 的工程师开发互联网系统", "研究生在图书馆学习历史文化",
+        "中国的高速铁路技术出口海外", "医生在医院治疗病人",
+    ]
+    kb = tmp_path / "zh.jsonl"
+    with open(kb, "w", encoding="utf-8") as f:
+        for i, s in enumerate(docs):
+            f.write(_json.dumps({"sentence": s, "paragraph": s,
+                                 "title": f"T{i}", "url": "u"},
+                                ensure_ascii=False) + "\n")
+    out = tmp_path / "idx"
+    cli.main(["index", "--kb", str(kb), "--out", str(out),
+              "--lang", "zh", "--ik_dict", "builtin"])
+    assert (out / "ik.dic").exists()
+    meta = _json.loads((out / "meta.json").read_text())
+    assert meta["ik_dict"] == "ik.dic" and meta["lang"] == "zh"
+
+    text_index, store, title_index, lang = load_kb(out)
+    assert lang == "zh" and isinstance(text_index.analyzer, IkAnalyzer)
+    eng = Eng(text_index, store=store, title_index=title_index,
+              use_pallas=False, block_d=8)
+    res = eng.search(["北京大学的人工智能研究"], k=3)[0]
+    assert res and res[0].doc_id == 0
