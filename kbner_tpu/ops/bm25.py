@@ -714,16 +714,20 @@ def gather_pruned_candidate_keys(
     step_src: float | jnp.ndarray = 1.0,
     lo_dst: float | jnp.ndarray = 0.0,
     step_dst: float | jnp.ndarray = 1.0,
+    aligned: bool = False,
 ) -> jnp.ndarray:
     """Pass-1 window gather emitting packed uint32 sort keys
     ``(doc << 8) | code8`` (pad = all-ones) for
     :func:`bm25_pruned_topk_packed`. When the source CSR's log scale
     differs from the pooled key scale (title field pooled with text),
     codes are re-encoded: code' = ((lo_s + (code-1)*step_s) - lo_d)
-    / step_d, clipped to [1, 255]."""
+    / step_d, clipped to [1, 255]. ``aligned`` means the CSR was built
+    with ``align_windows`` (every window starts on a row boundary), so
+    the +1 covering row for arbitrary starts is unnecessary — one fewer
+    gathered row per term and a narrower emitted key block."""
     Q, M = rare_terms.shape
     cap = per_term_cap
-    R = (cap + 127) // 128 + 1
+    R = (cap + 127) // 128 + (0 if aligned else 1)
     safe = jnp.maximum(rare_terms, 0)
     o = offsets[safe].astype(jnp.int32)
     dfq = (offsets[safe + 1] - offsets[safe]).astype(jnp.int32)

@@ -433,6 +433,7 @@ class RetrievalEngine:
         d16_width_floor: int = 0,
         device: bool = True,
         topc_recall: float = 0.0,
+        align_windows: bool = True,
     ):
         self.text_index = text_index
         self.title_index = title_index
@@ -462,6 +463,11 @@ class RetrievalEngine:
         # as expensive as the key sort; see ops/bm25.py::topc_recall)
         self.topc_recall = topc_recall
         self.n_shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
+        # row-boundary-aligned pass-1 windows: one fewer covering row per
+        # term and a ~(1/(cap/128+1)) narrower key sort for ~4% more CSR
+        # memory (index.py::csr_rows_packed). Unsharded engines only —
+        # the per-shard CSR builder keeps the packed layout.
+        self._csr_aligned = align_windows and mesh is None
 
         # pass-1 windows never read past this depth, so the device CSR is
         # built capped to it (full postings would be dead HBM weight)
@@ -642,7 +648,8 @@ class RetrievalEngine:
                     # their postings leave the device CSR entirely
                     off32, packed, clo, cstep = idx_obj.csr_rows_packed(
                         cap=self.per_term_cap,
-                        min_df=(self.tiny_cap if name == "text" else 0))
+                        min_df=(self.tiny_cap if name == "text" else 0),
+                        align_windows=self._csr_aligned)
                     if name == "text":
                         self._csr_scale = (clo, cstep)
                         self._device_csr = (put(off32), put(packed))
@@ -1300,6 +1307,7 @@ class RetrievalEngine:
         n_real = self.text_index.n_docs
         csr_lo, csr_step = self._csr_scale
         use_pal = self.use_pallas
+        csr_aligned = self._csr_aligned
         field_names = ["text", "title"][: len(lqs)]
         row_meta = [self._row_meta[n] for n in field_names]
         r2s = tuple(m[4] for m in row_meta)
@@ -1397,7 +1405,8 @@ class RetrievalEngine:
                 key_blocks.append(gather_pruned_candidate_keys(
                     rare, off, pk, per_term_cap,
                     reencode=True, lo_src=lo, step_src=step,
-                    lo_dst=rank_lo, step_dst=rank_step))
+                    lo_dst=rank_lo, step_dst=rank_step,
+                    aligned=csr_aligned))
             t_doc = t_ex = None
             if tiny is not None:
                 t_doc, t_ex = tiny
@@ -1730,6 +1739,8 @@ class MixEngine:
             p, p0 = e.text_index.params, e0.text_index.params
             if (p.k1, p.b) != (p0.k1, p0.b):
                 raise ValueError("engines must share BM25 params")
+            if e._csr_aligned != e0._csr_aligned:
+                raise ValueError("engines must share align_windows")
             # one W variant per batch width: remapped query blocks of
             # every language must come out equally wide
             e._d16_w_floor = max(e._d16_w_floor, d16_width_floor)
@@ -1738,6 +1749,7 @@ class MixEngine:
         self.n_candidates = n_candidates
         self.topc_recall = topc_recall
         self.use_pallas = e0.use_pallas
+        self._csr_aligned = e0._csr_aligned
         self._k1 = float(e0.text_index.params.k1)
         self._b = float(e0.text_index.params.b)
         self._w_floor = d16_width_floor
@@ -1861,6 +1873,7 @@ class MixEngine:
         n_cand = self.n_candidates
         topc_recall = self.topc_recall
         use_pal = self.use_pallas
+        csr_aligned = self._csr_aligned
         k1, b = self._k1, self._b
         ln64 = float(np.log(64.0)) / 254.0
         M = len(self.langs)
@@ -1899,7 +1912,8 @@ class MixEngine:
                 keys = gather_pruned_candidate_keys(
                     rare_g, csr_off, csr_pk, cap,
                     reencode=True, lo_src=lo, step_src=step,
-                    lo_dst=rank_lo, step_dst=rank_step)
+                    lo_dst=rank_lo, step_dst=rank_step,
+                    aligned=csr_aligned)
                 code = jnp.clip(jnp.round(
                     (jnp.log(jnp.maximum(ex, 1e-30)) - rank_lo)
                     / rank_step) + 1.0, 1.0, 255.0).astype(jnp.uint32)

@@ -257,7 +257,8 @@ class BM25Index:
         return off_c, p_doc[keep], p_imp[keep]
 
     def csr_rows_packed(self, lanes: int = 128, guard_rows: int = 32,
-                        cap: int = 0, min_df: int = 0):
+                        cap: int = 0, min_df: int = 0,
+                        align_windows: bool = False):
         """Packed row-blocked postings: ONE int32 per posting —
         ``(impact8 << 24) | doc_id`` — halving both the HBM footprint and
         the pass-1 row-gather count vs the two-array :meth:`csr_rows`
@@ -268,11 +269,35 @@ class BM25Index:
         term's ``cap`` highest-impact postings (the engine's per-term
         pass-1 window — deeper postings are unreachable); ``min_df``
         drops tiny terms the device never looks up (compact-rows mode).
+
+        ``align_windows`` pads every term's range to whole ``lanes``-wide
+        rows so each pass-1 window starts on a row boundary: the window
+        gather then needs exactly ``ceil(cap/lanes)`` covering rows
+        instead of ``cap//lanes + 1`` (the +1 covered arbitrary starts) —
+        at cap=384 that is one fewer gathered row per term AND a ~24%
+        narrower pass-1 sort, for ~4% more CSR memory (pad slots are -1
+        and never enter a window: ``eff`` bounds the in-window mask).
+
         Returns (offsets int32 [V+1], packed [NR, lanes] int32, lo,
         step)."""
         offsets, p_doc, p_imp = self.csr_capped(cap, min_df=min_df)
-        return (offsets.astype(np.int32),) + pack_postings(
-            p_doc, p_imp, lanes=lanes, guard_rows=guard_rows)
+        if not align_windows:
+            return (offsets.astype(np.int32),) + pack_postings(
+                p_doc, p_imp, lanes=lanes, guard_rows=guard_rows)
+        df = np.diff(offsets)
+        padded = ((df + lanes - 1) // lanes) * lanes
+        new_off = np.zeros(len(offsets), dtype=np.int64)
+        np.cumsum(padded, out=new_off[1:])
+        total = int(new_off[-1])
+        codes, lo, step = log_quantize(p_imp.astype(np.float32), bits=8)
+        nr = (total + lanes - 1) // lanes + guard_rows
+        packed = np.full((nr * lanes,), -1, dtype=np.int32)
+        pos = (np.repeat(new_off[:-1], df)
+               + (np.arange(len(p_doc)) - np.repeat(offsets[:-1], df)))
+        packed[pos] = ((codes.astype(np.uint32) << 24)
+                       | p_doc.astype(np.uint32)).view(np.int32)
+        return (new_off.astype(np.int32), packed.reshape(nr, lanes),
+                lo, step)
 
     # -- construction ---------------------------------------------------------
 
