@@ -373,6 +373,145 @@ class BM25Index:
             tok[:n_docs], vocab, params=params, max_doc_terms=max_doc_terms,
             pad_docs_to=pad_docs_to, analyzer=analyzer, doc_lens=doc_lens)
 
+    @staticmethod
+    def _term_runs(
+        tok: np.ndarray, V: int,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Reduce a raw ``[n, L]`` id block (pad < 0) to per-(doc, term)
+        runs: ``(term_of_run, tf, doc_of_run, nt)`` with ``nt`` = distinct
+        terms per doc. The compact triplets (~12 B/posting) are everything
+        downstream statistics need — the raw block can be freed as soon as
+        they are extracted, which is what lets :meth:`build_streaming` hold
+        one chunk at a time."""
+        n_docs = tok.shape[0]
+        valid = tok >= 0
+        # group equal terms within each row: pads sort to the end. Sort in
+        # int32 when term ids fit (2x the memory bandwidth of int64 — the
+        # sort is the hot step of collection-scale builds).
+        dtype = np.int32 if V < 2**31 - 1 else np.int64
+        BIG = dtype(2**31 - 1) if dtype == np.int32 else np.int64(2**62)
+        sorted_terms = np.sort(
+            np.where(valid, tok, BIG).astype(dtype), axis=1)
+        svalid = sorted_terms != BIG
+        run_start = svalid.copy()
+        run_start[:, 1:] &= sorted_terms[:, 1:] != sorted_terms[:, :-1]
+
+        flat_start = run_start.ravel()
+        flat_valid = svalid.ravel()
+        n_runs = int(flat_start.sum())
+        # int32 cumsum: 2x the scan bandwidth of the default int64 (safe:
+        # n_runs < N*L < 2^31 for any corpus this layout can hold anyway)
+        run_id = np.cumsum(flat_start, dtype=np.int32) - 1
+        tf = np.bincount(
+            run_id[flat_valid], minlength=max(n_runs, 1)).astype(np.float32)
+        starts = np.nonzero(flat_start)[0]
+        term_of_run = sorted_terms.ravel()[starts]
+        doc_of_run = (starts // max(tok.shape[1], 1)).astype(np.int32)
+        nt = np.bincount(doc_of_run, minlength=max(n_docs, 1))
+        return term_of_run, tf[:n_runs], doc_of_run, nt
+
+    @classmethod
+    def build_streaming(
+        cls,
+        chunks,
+        vocab: Dict[str, int],
+        params: Optional[BM25Params] = None,
+        max_doc_terms: int | str | None = "auto",
+        pad_docs_to: int = 128,
+        analyzer: Callable[[str], List[str]] = standard_analyze,
+    ) -> "BM25Index":
+        """Chunked two-phase build for collection-scale ingests — the
+        counterpart of the reference's 10k-doc ``_bulk`` streaming ingest
+        (``kb/build_kb.py:41-86``), which never holds the whole dump in
+        memory either.
+
+        ``chunks`` is an iterable of ``[n_i, L_i]`` int32 id arrays (pad
+        < 0; widths may differ). Phase 1 draws one chunk at a time and
+        reduces it to compact term-run triplets (term id int32, tf uint16,
+        doc id int32 — ~10 B per posting) before the next chunk is
+        generated, accumulating global df and doc lengths; phase 2 computes
+        idf/avgdl/norms once and scatters impacts into the padded layout.
+        Peak host memory is one raw chunk + the run triplets + the final
+        layout, never the raw corpus. Produces bit-identical arrays to
+        :meth:`build_encoded` on the concatenated input (up to per-row term
+        order under a ``max_doc_terms`` cap; scores are order-invariant).
+        """
+        params = params or BM25Params()
+        V = len(vocab)
+        df = np.zeros(V, dtype=np.int64)
+        run_t: List[np.ndarray] = []
+        run_tf: List[np.ndarray] = []
+        run_d: List[np.ndarray] = []
+        all_dl: List[np.ndarray] = []
+        all_nt: List[np.ndarray] = []
+        n_docs = 0
+        for tok in chunks:
+            tok = np.asarray(tok)
+            if tok.shape[1] >= 1 << 16:
+                raise ValueError("chunk width >= 65536 overflows uint16 tf")
+            t, tf, d, nt = cls._term_runs(tok, V)
+            df += np.bincount(t, minlength=V)
+            run_t.append(t)
+            run_tf.append(tf.astype(np.uint16))  # exact: tf <= row width
+            run_d.append(d.astype(np.int64) + n_docs)
+            all_dl.append((tok >= 0).sum(axis=1).astype(np.int64))
+            all_nt.append(nt)
+            n_docs += tok.shape[0]
+            del tok
+        n_chunks = len(run_t)
+        doc_lens = (np.concatenate(all_dl) if all_dl
+                    else np.zeros(0, np.int64))
+        nt = (np.concatenate(all_nt).astype(np.int64) if all_nt
+              else np.zeros(0, np.int64))
+        del all_dl, all_nt
+        n_runs = int(nt.sum())
+        avgdl = float(doc_lens.mean()) if n_docs else 1.0
+        idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)).astype(
+            np.float32)
+        dl = (quantize_doc_lengths(doc_lens) if params.quantize_norms
+              else doc_lens)
+        norm = (params.k1 * (1.0 - params.b + params.b * dl / avgdl)
+                ).astype(np.float32)
+
+        ld_full = int(nt.max()) if n_runs else 1
+        if max_doc_terms == "auto":
+            ld = min(ld_full,
+                     max(32, int(np.percentile(nt, 99.5)))) if n_runs else 1
+        elif max_doc_terms is None:
+            ld = ld_full
+        else:
+            ld = min(ld_full, int(max_doc_terms))
+        ld = max(ld, 1)
+        if ld < ld_full:
+            logging.getLogger("kbner_tpu").info(
+                "build: capped %d docs to %d distinct terms (max %d)",
+                int((nt > ld).sum()), ld, ld_full)
+
+        n_pad = ((n_docs + pad_docs_to - 1) // pad_docs_to) * pad_docs_to
+        n_pad = max(n_pad, pad_docs_to)
+        doc_terms = np.full((n_pad, ld), PAD_TERM, dtype=np.int32)
+        doc_impacts = np.zeros((n_pad, ld), dtype=np.float32)
+        cum = np.cumsum(nt) - nt  # global run offset of each doc's block
+        for _ in range(n_chunks):
+            # pop front: each chunk's triplets are freed after scatter
+            t = run_t.pop(0)
+            tf = run_tf.pop(0).astype(np.float32)
+            d = run_d.pop(0)
+            impact = idf[t] * tf / (tf + norm[d])
+            if ld < ld_full:
+                # keep the highest-impact terms of over-long docs (stable
+                # sort: doc blocks stay in ascending-doc order, so the
+                # global cum[] offsets below remain valid)
+                order = np.lexsort((-impact, d))
+                t, d, impact = t[order], d[order], impact[order]
+            pos = np.arange(len(t), dtype=np.int64) - (cum[d] - cum[d[0]]
+                                                       if len(d) else 0)
+            keep = pos < ld
+            doc_terms[d[keep], pos[keep]] = t[keep]
+            doc_impacts[d[keep], pos[keep]] = impact[keep]
+        return cls(vocab, idf, doc_terms, doc_impacts, n_docs, avgdl, params,
+                   analyzer, doc_dl=np.asarray(dl, dtype=np.int32))
+
     @classmethod
     def build_encoded(
         cls,
@@ -399,34 +538,13 @@ class BM25Index:
         tok = np.asarray(doc_token_ids)
         n_docs = tok.shape[0]
         V = len(vocab)
-        valid = tok >= 0
         if doc_lens is None:
-            doc_lens = valid.sum(axis=1).astype(np.int64)
+            doc_lens = (tok >= 0).sum(axis=1).astype(np.int64)
         doc_lens = np.asarray(doc_lens, dtype=np.int64)
         avgdl = float(doc_lens.mean()) if n_docs else 1.0
 
-        # group equal terms within each row: pads sort to the end. Sort in
-        # int32 when term ids fit (2x the memory bandwidth of int64 — the
-        # sort is the hot step of collection-scale builds).
-        dtype = np.int32 if V < 2**31 - 1 else np.int64
-        BIG = dtype(2**31 - 1) if dtype == np.int32 else np.int64(2**62)
-        sorted_terms = np.sort(
-            np.where(valid, tok, BIG).astype(dtype), axis=1)
-        svalid = sorted_terms != BIG
-        run_start = svalid.copy()
-        run_start[:, 1:] &= sorted_terms[:, 1:] != sorted_terms[:, :-1]
-
-        flat_start = run_start.ravel()
-        flat_valid = svalid.ravel()
-        n_runs = int(flat_start.sum())
-        # int32 cumsum: 2x the scan bandwidth of the default int64 (safe:
-        # n_runs < N*L < 2^31 for any corpus this layout can hold anyway)
-        run_id = np.cumsum(flat_start, dtype=np.int32) - 1
-        tf = np.bincount(
-            run_id[flat_valid], minlength=max(n_runs, 1)).astype(np.float32)
-        starts = np.nonzero(flat_start)[0]
-        term_of_run = sorted_terms.ravel()[starts]
-        doc_of_run = starts // max(tok.shape[1], 1)
+        term_of_run, tf, doc_of_run, nt = cls._term_runs(tok, V)
+        n_runs = term_of_run.shape[0]
 
         df = np.bincount(term_of_run, minlength=V) if n_runs else np.zeros(
             V, dtype=np.int64)
@@ -441,7 +559,6 @@ class BM25Index:
                 ).astype(np.float32)  # [N]
         impact = idf[term_of_run] * tf / (tf + norm[doc_of_run])
 
-        nt = np.bincount(doc_of_run, minlength=max(n_docs, 1))
         ld_full = int(nt.max()) if n_runs else 1
         if max_doc_terms == "auto":
             ld = min(ld_full,
@@ -619,6 +736,71 @@ class BM25Index:
             avgdl=d["avgdl"], params=BM25Params(**d["params"]),
             analyzer=analyzer, doc_dl=d.get("doc_dl"),
         )
+
+    def save_sharded(self, dir_path: str | Path, n_shards: int) -> None:
+        """Persist as ``n_shards`` doc-range shards sharing the global
+        statistics (vocab/idf/avgdl saved once). Collection-scale indexes
+        reopen shard by shard — peak load memory is the final layout plus
+        ONE shard, and a serving tier can map shards onto separate chips
+        (the role of ES shard allocation; the reference runs single-shard
+        indices per language, ``kb/build_kb.py:26``, and scales by language
+        fan-out instead)."""
+        import json as _json
+
+        p = Path(dir_path)
+        p.mkdir(parents=True, exist_ok=True)
+        per = -(-self.n_docs // max(n_shards, 1))
+        for i in range(n_shards):
+            lo, hi = i * per, min((i + 1) * per, self.n_docs)
+            np.savez(
+                p / f"shard{i:03d}.npz",
+                doc_terms=self.doc_terms[lo:hi],
+                doc_impacts=self.doc_impacts[lo:hi],
+                doc_dl=(self.doc_dl[lo:hi] if self.doc_dl is not None
+                        else np.zeros(0, np.int32)))
+        with open(p / "vocab.pkl", "wb") as f:
+            pickle.dump(self.vocab, f, protocol=4)
+        np.save(p / "idf.npy", self.idf)
+        (p / "shards.json").write_text(_json.dumps({
+            "n_shards": n_shards, "n_docs": self.n_docs,
+            "docs_per_shard": per, "ld": int(self.doc_terms.shape[1]),
+            "n_padded": int(self.doc_terms.shape[0]),
+            "avgdl": self.avgdl, "has_dl": self.doc_dl is not None,
+            "params": dataclasses.asdict(self.params)}))
+
+    @classmethod
+    def load_sharded(
+        cls, dir_path: str | Path,
+        analyzer: Callable[[str], List[str]] = standard_analyze,
+    ) -> "BM25Index":
+        """Reopen a :meth:`save_sharded` directory. The padded layout is
+        preallocated once and each shard is copied in and freed, so peak
+        memory is layout + one shard (not 2x layout)."""
+        import json as _json
+
+        p = Path(dir_path)
+        meta = _json.loads((p / "shards.json").read_text())
+        with open(p / "vocab.pkl", "rb") as f:
+            vocab = pickle.load(f)
+        idf = np.load(p / "idf.npy")
+        n_docs, ld = meta["n_docs"], meta["ld"]
+        doc_terms = np.full((meta["n_padded"], ld), PAD_TERM, dtype=np.int32)
+        doc_impacts = np.zeros((meta["n_padded"], ld), dtype=np.float32)
+        doc_dl = (np.zeros(n_docs, np.int32) if meta["has_dl"] else None)
+        per = meta["docs_per_shard"]
+        for i in range(meta["n_shards"]):
+            with np.load(p / f"shard{i:03d}.npz") as z:
+                lo = i * per
+                hi = lo + z["doc_terms"].shape[0]
+                doc_terms[lo:hi] = z["doc_terms"]
+                doc_impacts[lo:hi] = z["doc_impacts"]
+                if doc_dl is not None:
+                    doc_dl[lo:hi] = z["doc_dl"]
+        return cls(
+            vocab=vocab, idf=idf, doc_terms=doc_terms,
+            doc_impacts=doc_impacts, n_docs=n_docs, avgdl=meta["avgdl"],
+            params=BM25Params(**meta["params"]), analyzer=analyzer,
+            doc_dl=doc_dl)
 
     # -- reference scoring (oracle) -------------------------------------------
 
