@@ -1106,6 +1106,7 @@ def cmd_parity(args):
 
     weights = Path(args.weights) if args.weights else None
     enc_spec = args.encoder
+    enc_weights = None
     tok_cfg: dict
     if weights is not None:
         if not (weights / "config.json").exists():
@@ -1114,7 +1115,19 @@ def cmd_parity(args):
                 "+ model.safetensors/pytorch_model.bin + sentencepiece "
                 "tokenizer); place a local xlm-roberta-large export there")
         enc_spec = str(weights)
-        tok_cfg = {"type": "hf", "dir": str(weights)}
+        enc_weights = str(weights)
+        has_tok = any((weights / f).exists() for f in (
+            "sentencepiece.bpe.model", "tokenizer.json"))
+        if has_tok and not args.hash_tokenizer:
+            tok_cfg = {"type": "hf", "dir": str(weights)}
+        else:
+            # weights without tokenizer files (or --hash_tokenizer): the
+            # 550M-rehearsal mode — hash ids index the checkpoint's larger
+            # embedding safely; F1 numbers are then NOT reference-comparable
+            logging.warning(
+                "[parity] hash tokenizer with checkpoint weights: "
+                "rehearsal mode, F1 not reference-comparable")
+            tok_cfg = {"type": "hash", "vocab_size": args.hash_vocab}
     else:
         # fixture/CI mode: random-init tiny/base encoder + hash tokenizer
         tok_cfg = {"type": "hash", "vocab_size": args.hash_vocab}
@@ -1141,8 +1154,15 @@ def cmd_parity(args):
                 "tag_to_bioes": "ner",
             }],
             "tokenizer": tok_cfg,
+            # remat for checkpoint-path encoders: a 550M fine-tune with
+            # Adam state does not fit 16 GB HBM without activation
+            # checkpointing (measured: bench.py train_large arm)
             "model": {"encoder": enc_spec, "use_crf": True,
-                      "locked_dropout": 0.0, "word_dropout": 0.1},
+                      "locked_dropout": 0.0, "word_dropout": 0.1,
+                      **({"encoder_weights": enc_weights,
+                          "remat": True,
+                          "remat_policy": "dots_saveable"}
+                         if enc_weights else {})},
             # the reference stage recipes: lr 5e-6, head lr x10000,
             # batch 1 x accum 4, linear warmup (README.md:124 config
             # names encode these; we scale batch up on TPU)
@@ -1289,6 +1309,9 @@ def main(argv=None):
     sp.add_argument("--encoder", default="tiny",
                     help="encoder when --weights absent: tiny/base/large")
     sp.add_argument("--hash_vocab", type=int, default=4096)
+    sp.add_argument("--hash_tokenizer", action="store_true",
+                    help="force the hash tokenizer even with --weights "
+                         "(550M rehearsal mode; F1 not comparable)")
     sp.add_argument("--epochs_stage1", type=int, default=3)
     sp.add_argument("--epochs_stage2", type=int, default=10)
     sp.add_argument("--batch_size", type=int, default=8)

@@ -257,7 +257,12 @@ class ExperimentConfig:
         # training xlmr-base cost a debugging session once
         enc = self.model.get("encoder", self.model.get("size", "base"))
         kwargs: Dict[str, Any] = {}
-        if tokenizer is not None and self.tokenizer.get("type") == "hash":
+        if (tokenizer is not None and self.tokenizer.get("type") == "hash"
+                and enc in ("tiny", "base", "large")):
+            # named sizes shrink to the hash vocab; a checkpoint PATH
+            # encoder keeps its own vocab (hash ids are always smaller, so
+            # they index the loaded embedding safely — the 550M rehearsal
+            # pairs a hash tokenizer with a real-shaped checkpoint)
             kwargs["vocab_size"] = tokenizer.vocab_size
         # activation checkpointing (model.remat: true for xlmr-large on
         # 16 GB chips; model.remat_policy names a jax.checkpoint_policies

@@ -75,9 +75,11 @@ class XLMRConfig:
 
     @classmethod
     def from_hf_config(cls, path: Path, **kw) -> "XLMRConfig":
-        """Build from a HF ``config.json`` on disk."""
+        """Build from a HF ``config.json`` on disk. Explicit ``kw`` wins
+        over the file (callers may override e.g. remat; a duplicated
+        ``vocab_size`` must not raise)."""
         hf = json.loads(Path(path).read_text())
-        return cls(
+        fields = dict(
             vocab_size=hf["vocab_size"],
             hidden_size=hf["hidden_size"],
             num_layers=hf["num_hidden_layers"],
@@ -87,8 +89,9 @@ class XLMRConfig:
             type_vocab_size=hf.get("type_vocab_size", 1),
             pad_token_id=hf.get("pad_token_id", 1),
             layer_norm_eps=hf.get("layer_norm_eps", 1e-5),
-            **kw,
         )
+        fields.update(kw)
+        return cls(**fields)
 
 
 class SelfAttention(nn.Module):

@@ -48,6 +48,43 @@ def test_parity_skips_without_data(tmp_path, capsys):
     assert "SKIP" in out and "stage-1 multilingual" in out
 
 
+def test_parity_weights_actually_loaded(parity_data, tmp_path):
+    """--weights must INITIALIZE the encoder from the checkpoint (not just
+    copy its architecture): with lr=0 the exported stage-1 encoder equals
+    the checkpoint weights bit-for-bit. --hash_tokenizer is the 550M
+    rehearsal mode (no sentencepiece files needed)."""
+    transformers = pytest.importorskip("transformers")
+    torch = pytest.importorskip("torch")
+    import numpy as np
+    from flax.serialization import msgpack_restore
+
+    cfg = transformers.XLMRobertaConfig(
+        vocab_size=251, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64, type_vocab_size=1, pad_token_id=1,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    torch.manual_seed(0)
+    hf = transformers.XLMRobertaModel(cfg, add_pooling_layer=False)
+    ckpt = tmp_path / "ckpt"
+    hf.save_pretrained(ckpt)
+
+    out = tmp_path / "out"
+    main(["parity", "--weights", str(ckpt), "--hash_tokenizer",
+          "--hash_vocab", "128", "--data", str(parity_data),
+          "--stage1_folder", "stage1", "--stage2_folder", "stage2",
+          "--out", str(out), "--epochs_stage1", "1", "--epochs_stage2", "1",
+          "--lr", "0.0", "--lr_rate", "0.0", "--batch_size", "8"])
+    enc_path = out / "stage1" / "finetuned-encoder.msgpack"
+    assert enc_path.exists()
+    exported = msgpack_restore(enc_path.read_bytes())
+    while set(exported.keys()) in ({"params"}, {"encoder"}):
+        exported = exported[next(iter(exported))]
+    want = hf.embeddings.word_embeddings.weight.detach().numpy()
+    got = np.asarray(
+        exported["word_embeddings"]["embedding"], dtype=np.float32)
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
 def test_parity_skips_without_weights(parity_data, tmp_path, capsys):
     main(["parity", "--weights", str(tmp_path / "no-such-ckpt"),
           "--data", str(parity_data), "--stage1_folder", "stage1",
