@@ -540,6 +540,120 @@ def bench_retrieval(on_tpu: bool) -> dict:
     }
 
 
+def _big_build_child():
+    """Full-dump-scale rehearsal (VERDICT r4 #7), run as a SUBPROCESS so
+    peak host RSS is attributable: stream-build a >= 20M-doc synthetic
+    corpus chunk by chunk (``build_streaming`` holds one 4.19M-doc chunk
+    + compact run triplets, never the raw corpus), persist + reopen it as
+    doc-range shards, upload the CSR to the chip, and serve a few pruned
+    windows. Prints ONE JSON line on stdout."""
+    import resource
+
+    import jax
+    import jax.numpy as jnp  # noqa: F401 (device path init)
+
+    from kbner_tpu.retrieval import BM25Index, RetrievalEngine
+    from kbner_tpu.retrieval.synth import synth_wiki_docs
+
+    n_big = int(os.environ.get("BENCH_BIG_NDOCS", str(5 * (1 << 22))))
+    chunk_docs = min(1 << 22, n_big)
+    n_chunks = -(-n_big // chunk_docs)
+    vocab = {i: i for i in range(VOCAB)}
+    out: dict = {}
+
+    def chunks():
+        for s in range(n_chunks):
+            yield synth_wiki_docs(chunk_docs, vocab=VOCAB,
+                                  n_topics=chunk_docs // 64, seed=s)
+
+    t0 = time.perf_counter()
+    index = BM25Index.build_streaming(chunks(), vocab)
+    build_s = time.perf_counter() - t0
+    out["n_docs"] = index.n_docs
+    out["build_docs_per_s"] = round(index.n_docs / build_s, 1)
+    out["build_s"] = round(build_s, 1)
+    log(f"[bigbuild] streamed build of {index.n_docs} docs: {build_s:.0f}s")
+
+    import shutil
+    import tempfile
+
+    shard_dir = tempfile.mkdtemp(prefix="bigidx_")
+    try:
+        t0 = time.perf_counter()
+        index.save_sharded(shard_dir, n_shards=n_chunks)
+        out["save_s"] = round(time.perf_counter() - t0, 1)
+        del index
+        t0 = time.perf_counter()
+        index = BM25Index.load_sharded(shard_dir)
+        out["load_s"] = round(time.perf_counter() - t0, 1)
+    finally:
+        shutil.rmtree(shard_dir, ignore_errors=True)
+    log(f"[bigbuild] shard save {out['save_s']}s / reopen {out['load_s']}s")
+
+    t0 = time.perf_counter()
+    engine = RetrievalEngine(
+        index, mode="pruned", use_pallas=True, rare_terms=16,
+        posting_budget=6144, n_candidates=N_CAND, tiny_width=384,
+        tiny_pack=False, tiny_df_cap=128, tiny_cols_floor=512,
+        d16_width_floor=32)
+    jax.block_until_ready(engine._device_csr)
+    out["csr_upload_s"] = round(time.perf_counter() - t0, 1)
+    nnz = int((index.doc_terms >= 0).sum())
+    dev_bytes = (
+        sum(int(a.nbytes) for a in engine._device_rows["text"])
+        + sum(int(a.nbytes) for a in engine._device_csr))
+    out["index_bytes_per_doc"] = round(dev_bytes / index.n_docs, 1)
+    out["lucene_est_bytes_per_doc"] = round(
+        (2 * nnz + index.n_docs) / index.n_docs, 1)
+    log(f"[bigbuild] CSR+upload {out['csr_upload_s']}s, "
+        f"{out['index_bytes_per_doc']} B/doc "
+        f"(lucene est {out['lucene_est_bytes_per_doc']})")
+
+    # serve a few pruned windows at this scale (fresh jit: shapes changed)
+    rng = np.random.RandomState(1)
+    src, batches = [], []
+    for _ in range(10):
+        ids = rng.randint(0, index.n_docs, size=Q_BATCH)
+        src.append(ids)
+        batches.append(encode_rows(index.doc_terms[ids]))
+    list(engine.search_stream(batches[:2], k=K, workers=1))
+    t0 = time.perf_counter()
+    results = list(engine.search_stream(batches[2:], k=K, workers=1,
+                                        depth=1))
+    out["qps"] = round(
+        Q_BATCH * len(results) / (time.perf_counter() - t0), 1)
+    # self-retrieval sanity: a corpus-sentence query should surface its
+    # own document in the top-k (the exhaustive recall gate runs at the
+    # headline 4.19M scale; this is the at-scale smoke signal)
+    hit = sum(float(np.mean([s in ids_row for s, ids_row
+                             in zip(src[2 + i], ids_b)]))
+              for i, (_, ids_b) in enumerate(results)) / len(results)
+    out["self_hit_at_10"] = round(hit, 4)
+    out["peak_host_rss_gb"] = round(
+        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2)
+    log(f"[bigbuild] {out['qps']} q/s, self-hit@10 "
+        f"{out['self_hit_at_10']}, peak RSS {out['peak_host_rss_gb']} GB")
+    print(json.dumps(out))
+
+
+def bench_big_build() -> dict:
+    """Run the >= 20M-doc rehearsal in a subprocess; {} on failure."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "bigbuild-child"],
+            capture_output=True, text=True, timeout=3600, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        for line in r.stderr.splitlines():
+            log(line)
+        return json.loads(r.stdout.strip().splitlines()[-1])
+    except Exception as e:  # report, don't hide
+        log(f"[bench] bigbuild FAILED: {e}")
+        err = getattr(e, "stderr", "") or ""
+        return {"error": f"{e} | {err[-400:]}"}
+
+
 def bench_quality_gate() -> dict:
     """Held-out span F1 of the trained-quality gate (VERDICT r2 #4): the
     pattern corpus a healthy trainer must learn to >= 0.95. Runs in a CPU
@@ -628,8 +742,14 @@ def main():
             f"({train['train_subtok_per_s']} subtok/s)")
     ret = bench_retrieval(on_tpu)
 
+    big = {}
+    if (on_tpu and not SMOKE
+            and os.environ.get("BENCH_BIGBUILD", "1") != "0"
+            and not os.environ.get("BENCH_RETRIEVAL_ONLY")):
+        big = {"bigbuild": bench_big_build()}
+
     qps = ret.pop("qps")
-    extra = {**ret, **train, **quality, "backend": backend}
+    extra = {**ret, **train, **quality, **big, "backend": backend}
     if os.environ.get("BENCH_TPU_FALLBACK"):
         extra["tpu_measured"] = (
             "tunnel down at bench time - chip-measured r3 numbers with "
@@ -646,4 +766,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if sys.argv[1:2] == ["bigbuild-child"]:
+        _big_build_child()
+    else:
+        main()
