@@ -81,6 +81,39 @@ def test_mix_engine_stream_matches_batchwise(mix_setup):
                 for row in gb]
 
 
+def test_mix_engine_m11_all_reference_languages():
+    """The reference's wildcard search spans 11 language indices
+    (bn,de,en,es,fa,hi,ko,nl,ru,tr,zh — kb/build_kb.py); the concatenated
+    structure must stay exact at M=11 and cost the SUM of the per-language
+    indices (concatenation, not pad-to-max)."""
+    langs = "bn de en es fa hi ko nl ru tr zh".split()
+    corp = {lang: _mk(seed, n=100 + 20 * seed, doc_len=10)
+            for seed, lang in enumerate(langs)}
+    idxs = {lang: BM25Index.build(d, pad_docs_to=64)
+            for lang, d in corp.items()}
+    ref = {lang: RetrievalEngine(
+        idx, store=DocStore(sentences=list(corp[lang])), **KNOBS)
+        for lang, idx in idxs.items()}
+    host = {lang: RetrievalEngine(
+        idx, store=DocStore(sentences=list(corp[lang])), device=False,
+        **KNOBS) for lang, idx in idxs.items()}
+    mix = MixEngine(host, n_candidates=32)
+
+    queries = [corp["bn"][0], corp["zh"][7], corp["ko"][3],
+               "w1 w5 w9 w200", corp["ru"][19]]
+    want = mix_search(ref, queries, k=5)
+    got = mix.search_texts(queries, k=5)
+    for qi in range(len(queries)):
+        w = [(lang, d.doc_id, pytest.approx(d.score, rel=1e-5))
+             for lang, d in want[qi]]
+        g = [(lang, d.doc_id, d.score) for lang, d in got[qi]]
+        assert g == w
+    # doc-axis arrays concatenate: total slots == SUM of per-language
+    # padded docs (pad-to-max would be len(langs) * max instead)
+    total = sum(e.n_padded for e in host.values())
+    assert np.asarray(mix._dev[1]).shape[0] == total
+
+
 def test_mix_engine_rejects_mismatched_engines(mix_setup):
     corp, idxs = mix_setup
     a = RetrievalEngine(idxs["en"], device=False, **KNOBS)
