@@ -65,8 +65,14 @@ def make_finetune_optimizer(
     grad_clip: float = 5.0,
     accumulation_steps: int = 1,
     use_inverse_sqrt: bool = False,
+    mu_dtype: Any = None,
 ) -> optax.GradientTransformation:
-    """Two-group AdamW: encoder at ``lr``, everything else at ``lr*lr_rate``."""
+    """Two-group AdamW: encoder at ``lr``, everything else at ``lr*lr_rate``.
+
+    ``mu_dtype`` stores Adam's first moment in a narrower dtype (e.g.
+    bfloat16): at 550M params that frees ~1.1 GB of HBM and halves the
+    first-moment read/write traffic of every update step.
+    """
 
     def make_sched(peak):
         if schedule_fn is not None:
@@ -78,7 +84,7 @@ def make_finetune_optimizer(
     def adamw(peak):
         return optax.adamw(
             make_sched(peak), b1=0.9, b2=0.999, eps=1e-8,
-            weight_decay=weight_decay)
+            weight_decay=weight_decay, mu_dtype=mu_dtype)
 
     labels = jax.tree_util.tree_map_with_path(
         lambda path, _: "encoder" if _is_encoder_path(path) else "head",

@@ -57,6 +57,10 @@ class TrainConfig:
     weight_decay: float = 0.0
     grad_clip: float = 5.0
     use_inverse_sqrt: bool = False
+    # store Adam's first moment in bfloat16: ~1.1 GB less HBM at 550M
+    # params and half the mu read/write traffic per step; the second
+    # moment stays f32 (its dynamic range is the unstable one)
+    adam_mu_bf16: bool = False
     seed: int = 0
     max_subtokens: int = 512
     eval_batch_size: int = 32
@@ -260,7 +264,8 @@ class FinetuneTrainer:
             warmup_steps=warmup, total_steps=total_steps,
             weight_decay=config.weight_decay, grad_clip=config.grad_clip,
             accumulation_steps=config.accumulation_steps,
-            use_inverse_sqrt=config.use_inverse_sqrt)
+            use_inverse_sqrt=config.use_inverse_sqrt,
+            mu_dtype=jnp.bfloat16 if config.adam_mu_bf16 else None)
         opt_state = tx.init(self.params)
         train_step = self._build_train_step(tx, config)
 
