@@ -35,14 +35,20 @@ REF = Path("/root/reference/kb/context_process.py")
 def ref_fn():
     """The reference's match_origin_paragraph, extracted without importing
     the (script-style, argparse-at-import) module."""
-    tree = ast.parse(REF.read_text())
-    for node in tree.body:
-        if isinstance(node, ast.FunctionDef) and \
-                node.name == "match_origin_paragraph":
-            mod = ast.Module(body=[node], type_ignores=[])
-            ns = {"re": re, "pdb": None}
-            exec(compile(mod, str(REF), "exec"), ns)
-            return ns["match_origin_paragraph"]
+    import warnings
+
+    with warnings.catch_warnings():
+        # the reference source carries invalid escape sequences ('\.'
+        # inside a regex literal); that's its bug, not ours
+        warnings.simplefilter("ignore", SyntaxWarning)
+        tree = ast.parse(REF.read_text())
+        for node in tree.body:
+            if isinstance(node, ast.FunctionDef) and \
+                    node.name == "match_origin_paragraph":
+                mod = ast.Module(body=[node], type_ignores=[])
+                ns = {"re": re, "pdb": None}
+                exec(compile(mod, str(REF), "exec"), ns)
+                return ns["match_origin_paragraph"]
     raise AssertionError("reference function not found")
 
 
