@@ -124,6 +124,15 @@ def bench_train_step(on_tpu: bool) -> dict:
         params, lr=5e-6, lr_rate=20.0, warmup_steps=100, total_steps=10000)
     opt_state = tx.init(params)
 
+    # hardware RngBitGenerator dropout keys (TrainConfig.rng_impl default):
+    # threefry mask generation costs ~100 ms/step at xlmr-large B32xS256
+    # (1.2G draws for attention-probs + hidden dropout) — the r5 probe
+    # measured large-B32 298 -> 230 ms and large-B16 163 -> 119.5 ms
+    # from this switch alone; deterministic (no dropout) is 196 ms at B32
+    def dropout_key(seed):
+        return (jax.random.key(seed, impl="unsafe_rbg") if on_tpu
+                else jax.random.PRNGKey(seed))
+
     @jax.jit
     def step(params, opt_state, batch, key):
         def loss_fn(p):
@@ -135,7 +144,7 @@ def bench_train_step(on_tpu: bool) -> dict:
         params = jax.tree_util.tree_map(lambda a, u: a + u, params, updates)
         return params, opt_state, loss
 
-    key = jax.random.PRNGKey(1)
+    key = dropout_key(1)
     for _ in range(2):  # compile + device warmup
         params, opt_state, loss = step(params, opt_state, batch, key)
         float(loss)  # host pull: sync through the remote tunnel
@@ -225,7 +234,11 @@ def bench_train_step(on_tpu: bool) -> dict:
         # dots_saveable selective remat: keep ALL matmul outputs, recompute
         # only elementwise/softmax in the backward — the r4 chip A/B at
         # this shape: full remat 180.8 ms, dots_with_no_batch_dims 170.1,
-        # dots_saveable 166.8 ms (all fit 16 GB with donated buffers)
+        # dots_saveable 166.8 ms (all fit 16 GB with donated buffers).
+        # r5 batch sweep at dots_saveable + unsafe_rbg dropout keys:
+        # B16 119.5 ms (MFU 0.585), B32 230 ms (0.610), B48 340 ms
+        # (0.617), B64 OOM — B16 stays the headline (the production
+        # recipe's shape); B32 is reported as train_large_b32_mfu
         enc_l = XLMRConfig.large(remat=True, remat_policy="dots_saveable")
         cfg_l = TaggerConfig(
             encoder=enc_l, num_tags=num_tags, start_idx=num_tags - 2,
@@ -281,7 +294,36 @@ def bench_train_step(on_tpu: bool) -> dict:
         extra["train_large_mfu"] = round(
             6 * n_params_l * B * S / dt_l / 197e12, 3)
         extra["train_large_shape"] = (
-            f"B{B}xS{S} xlmr-large-bf16-remat-dots_saveable")
+            f"B{B}xS{S} xlmr-large-bf16-remat-dots_saveable-rbg")
+
+        # throughput-optimal batch at the same shape (grad-accum or a
+        # bigger corpus batch pays this number instead of B16's)
+        bl32 = {
+            "input_ids": jnp.asarray(rng.randint(
+                4, enc_l.vocab_size - 1, size=(32, S)).astype(np.int32)),
+            "attention_mask": jnp.ones((32, S), jnp.int32),
+            "word_starts": jnp.asarray(np.tile(
+                np.arange(1, W + 1, dtype=np.int32), (32, 1))),
+            "word_mask": jnp.ones((32, W), jnp.int32),
+            "tag_ids": jnp.asarray(rng.randint(
+                0, num_tags - 2, size=(32, W)).astype(np.int32)),
+            "crf_mask": jnp.ones((32, W), jnp.int32),
+            "lang_ids": jnp.zeros((32,), jnp.int32),
+        }
+        params_l, opt_l, loss = step_l(params_l, opt_l, bl32, key)
+        float(loss)
+        t0 = time.perf_counter()
+        prev_l = None
+        for _ in range(5):
+            params_l, opt_l, loss = step_l(params_l, opt_l, bl32, key)
+            if prev_l is not None:
+                float(prev_l)
+            prev_l = loss
+        float(prev_l)
+        dt_l32 = (time.perf_counter() - t0) / 5
+        extra["train_large_b32_subtok_per_s"] = round(32 * S / dt_l32, 1)
+        extra["train_large_b32_mfu"] = round(
+            6 * n_params_l * 32 * S / dt_l32 / 197e12, 3)
         del params_l, opt_l
 
     # MFU: fwd+bwd ~ 6 * params * tokens matmul FLOPs (remat adds one

@@ -224,7 +224,8 @@ class DistillationTrainer(FinetuneTrainer):
             return params, opt_state, loss
 
         step = jax.jit(train_step, donate_argnums=(0, 1))
-        rng = jax.random.PRNGKey(config.seed)
+        rng = (jax.random.key(config.seed, impl=config.rng_impl)
+               if config.rng_impl else jax.random.PRNGKey(config.seed))
         rng_order = np.random.RandomState(config.seed)
         best_score = -np.inf
         history = {"train_loss": [], "dev_score": []}

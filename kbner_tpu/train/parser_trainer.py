@@ -126,7 +126,8 @@ class _TaskTrainer:
                 lambda a, u: a + u, params, updates)
             return params, opt_state, loss
 
-        rng = jax.random.PRNGKey(config.seed)
+        rng = (jax.random.key(config.seed, impl=config.rng_impl)
+               if config.rng_impl else jax.random.PRNGKey(config.seed))
         key = self.score_key
         best = {key: -float("inf"), "epoch": 0}
         history = []
