@@ -448,7 +448,7 @@ def bench_retrieval(on_tpu: bool) -> dict:
     # spikes — and report the best sustained window (all are logged).
     qps = 0.0
     for wk, dp in ((workers, depth), (workers, depth),
-                   (workers + 1, depth + 1)):
+                   (workers + 1, depth + 1), (workers + 2, depth + 1)):
         t0 = time.perf_counter()
         n_done = sum(1 for _ in engine.search_stream(
             batches[2:], k=K, workers=wk, depth=dp))
@@ -471,11 +471,14 @@ def bench_retrieval(on_tpu: bool) -> dict:
         text_batches.append([
             " ".join(f"w{t}" for t in row if t >= 0) for row in tok[ids]])
     list(engine.search_stream(  # warmup (jit variants for these widths)
-        [index.encode_queries(text_batches[0])], k=K, workers=workers))
+        [text_batches[0]], k=K, workers=workers))
+    # raw-string batches straight into the stream: analyze+encode runs on
+    # the prep workers, overlapped with device compute (encoding on the
+    # caller thread measured 85-97% of pre-encoded across sessions; in-
+    # worker encode closes the gap)
     t0 = time.perf_counter()
     n_done = sum(1 for _ in engine.search_stream(
-        (index.encode_queries(tb) for tb in text_batches[1:]),
-        k=K, workers=workers, depth=depth))
+        text_batches[1:], k=K, workers=workers + 1, depth=depth))
     text_qps = Q_BATCH / ((time.perf_counter() - t0) / n_done)
     log(f"[bench] text path (analyze+encode+stream): {text_qps:.0f} q/s "
         f"({100.0 * text_qps / qps:.0f}% of pre-encoded)")

@@ -1223,7 +1223,7 @@ class RetrievalEngine:
         return self.unpack_result(out)
 
     def search_stream(self, batches, k: int = 10, workers: int = 3,
-                      depth: int = 2):
+                      depth: int = 2, max_query_terms: int = 64):
         """Fully pipelined pruned search over an iterable of
         ``(q_terms, q_weights)`` batches, yielding ``(scores, ids)`` per
         batch in order.
@@ -1235,15 +1235,27 @@ class RetrievalEngine:
         is the single largest per-batch cost — overlapping it with
         compute is worth ~1.5x throughput at wiki-scale settings. This is
         the serving loop's shape (cli serve / bench pipeline).
+
+        A batch may be ``(q_terms, q_weights)`` arrays OR a list of raw
+        query strings — strings are analyzed + encoded INSIDE the prep
+        workers, so the text path overlaps its host encode with device
+        compute too (encoding on the caller's thread serialized with
+        result pulls and cost ~15% of stream throughput at r5 rates).
         """
         from concurrent.futures import ThreadPoolExecutor
 
         if self.mode != "pruned":
-            for qt, qw in batches:
-                yield self.search_encoded(qt, qw, k=k)
+            for b in batches:
+                if b and isinstance(b[0], str):
+                    b = self.text_index.encode_queries(
+                        list(b), max_query_terms=max_query_terms)
+                yield self.search_encoded(b[0], b[1], k=k)
             return
 
         def prep(b):
+            if b and isinstance(b[0], str):
+                b = self.text_index.encode_queries(
+                    list(b), max_query_terms=max_query_terms)
             qt, qw = b
             packed, lqs, t_cols, tiny = self._pack_queries(qt, qw, ())
             dev = jnp.asarray(packed)  # transfer starts on the worker
@@ -1584,16 +1596,15 @@ class RetrievalEngine:
                             batch_size: int = 1024,
                             max_query_terms: int = 64,
                             ) -> List[List[RetrievedDoc]]:
-        """Text-query retrieval through the pipelined stream: encodes in
-        ``batch_size`` chunks and overlaps pack/upload with device
+        """Text-query retrieval through the pipelined stream: raw-string
+        chunks go straight to :meth:`search_stream`, which analyzes +
+        encodes them on its prep workers — overlapped with device
         compute (pruned mode; other modes fall back to batchwise)."""
-        batches = [
-            self.text_index.encode_queries(
-                list(queries[i:i + batch_size]),
-                max_query_terms=max_query_terms)
-            for i in range(0, len(queries), batch_size)]
+        batches = [list(queries[i:i + batch_size])
+                   for i in range(0, len(queries), batch_size)]
         out: List[List[RetrievedDoc]] = []
-        for scores, ids in self.search_stream(batches, k=k):
+        for scores, ids in self.search_stream(
+                batches, k=k, max_query_terms=max_query_terms):
             out.extend(self._materialize(scores, ids))
         return out
 
