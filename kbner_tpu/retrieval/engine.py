@@ -1266,7 +1266,15 @@ class RetrievalEngine:
         it = iter(batches)
         workers = max(workers, 1)
         depth = max(depth, 1)  # dispatched-but-unpulled device batches
-        with ThreadPoolExecutor(max_workers=workers) as ex:
+        # pulls ride their OWN pool: a result pull is one tunnel round
+        # trip (~30-70 ms) of pure waiting, and pulling on the caller's
+        # thread serialized the whole stream behind it (r5 profile: the
+        # device runs a 256-query batch in ~22 ms while one pull costs
+        # ~50 ms — the caller thread was the binder, not the chip).
+        # Overlapping depth+1 pulls keeps the yield order while the
+        # round trips run concurrently.
+        with ThreadPoolExecutor(max_workers=workers) as ex, \
+                ThreadPoolExecutor(max_workers=depth + 1) as pull_ex:
             futs = []
             for b in it:  # prefill to pipeline depth
                 futs.append(ex.submit(prep, b))
@@ -1275,21 +1283,24 @@ class RetrievalEngine:
             if not futs:
                 return
             pending: deque = deque()
+
+            def dispatch_one():
+                dev, lqs, t_cols, tiny = futs.pop(0).result()
+                out = self._dispatch_packed(
+                    dev, lqs, t_cols, k, False, tiny_dev=tiny)
+                pending.append(pull_ex.submit(self.unpack_result, out))
+
             for nxt in it:
                 futs.append(ex.submit(prep, nxt))
-                dev, lqs, t_cols, tiny = futs.pop(0).result()
-                pending.append(self._dispatch_packed(
-                    dev, lqs, t_cols, k, False, tiny_dev=tiny))
+                dispatch_one()
                 if len(pending) > depth:
-                    yield self.unpack_result(pending.popleft())
+                    yield pending.popleft().result()
             while futs:
-                dev, lqs, t_cols, tiny = futs.pop(0).result()
-                pending.append(self._dispatch_packed(
-                    dev, lqs, t_cols, k, False, tiny_dev=tiny))
+                dispatch_one()
                 if len(pending) > depth:
-                    yield self.unpack_result(pending.popleft())
+                    yield pending.popleft().result()
             while pending:
-                yield self.unpack_result(pending.popleft())
+                yield pending.popleft().result()
 
     def _pruned_topk_fn(self, k: int, lqs: Tuple[int, ...],
                         per_term_cap: int, t_cols: int = 0,
@@ -1994,7 +2005,11 @@ class MixEngine:
         it = iter(query_batches)
         workers = max(workers, 1)
         depth = max(depth, 1)
-        with ThreadPoolExecutor(max_workers=workers) as ex:
+        # pulls overlap on their own pool (see
+        # RetrievalEngine.search_stream: one pull is a ~30-70 ms tunnel
+        # round trip; on the caller's thread it was the stream's binder)
+        with ThreadPoolExecutor(max_workers=workers) as ex, \
+                ThreadPoolExecutor(max_workers=depth + 1) as pull_ex:
             futs = []
             for qs in it:
                 futs.append(ex.submit(prep, qs))
@@ -2004,27 +2019,26 @@ class MixEngine:
                 return
             pending: deque = deque()
 
-            def flush(f):
-                dev, n_q, W, t_cols = f.result()
-                pending.append(
-                    (self._dispatch(dev, k, W, t_cols), n_q))
-
-            def pull():
-                out, n_q = pending.popleft()
+            def pull_one(out, n_q):
                 scores, ids = RetrievalEngine.unpack_result(out)
                 return self._materialize(scores[:n_q], ids[:n_q])
+
+            def flush(f):
+                dev, n_q, W, t_cols = f.result()
+                out = self._dispatch(dev, k, W, t_cols)
+                pending.append(pull_ex.submit(pull_one, out, n_q))
 
             for nxt in it:
                 futs.append(ex.submit(prep, nxt))
                 flush(futs.pop(0))
                 if len(pending) > depth:
-                    yield pull()
+                    yield pending.popleft().result()
             while futs:
                 flush(futs.pop(0))
                 if len(pending) > depth:
-                    yield pull()
+                    yield pending.popleft().result()
             while pending:
-                yield pull()
+                yield pending.popleft().result()
 
     def _materialize(self, scores: np.ndarray, ids: np.ndarray
                      ) -> List[List[Tuple[str, RetrievedDoc]]]:
