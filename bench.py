@@ -60,7 +60,13 @@ N_ITER = 3 if SMOKE else 40  # CPU smoke: the pruned path runs ~2 q/s
 # (TPU: 40 batches ≈ 1.6 s of stream — long enough that the one-off
 # worker-pool spin-up + pipeline prefill (~0.2 s) stops dominating the
 # steady-state serving rate; r3's 10-batch window under-reported by ~25%)
-N_CAND = int(os.environ.get("BENCH_NCAND", "1792"))
+# r5 device-ceiling sweep at 4.19M docs (forced-pull timings): n_cand
+# 1792 -> 1024 cuts the pass-2 rescore from ~14 to ~8 ms/batch (device
+# 36.0 -> 22.1 ms, 7.1k -> 11.6k q/s ceiling) and costs ~0.001 recall
+# (bench-batch recall@10 0.9926 -> 0.9902; the residual misses are
+# pass-1 coverage, insensitive to budget/c/rare-count — c1792, b8192,
+# rare20, and approx-top-C all measured within +-0.0004 of it)
+N_CAND = int(os.environ.get("BENCH_NCAND", "1024"))
 BASELINE_PER_CHIP = 10000.0 / 8.0
 
 
@@ -447,8 +453,12 @@ def bench_retrieval(on_tpu: bool) -> dict:
     # a repeat plus a deeper-pipeline variant that rides out latency
     # spikes — and report the best sustained window (all are logged).
     qps = 0.0
+    # cap the sweep at w5/d3: 5 prep + 4 pull concurrent tunnel streams
+    # is the most the shared tunnel reliably serves (a w6d4 probe hung
+    # mid-warmup — 11 in-flight ops starved each other indefinitely)
     for wk, dp in ((workers, depth), (workers, depth),
-                   (workers + 1, depth + 1), (workers + 2, depth + 1)):
+                   (min(workers + 1, 5), min(depth + 1, 3)),
+                   (min(workers + 2, 5), min(depth + 1, 3))):
         t0 = time.perf_counter()
         n_done = sum(1 for _ in engine.search_stream(
             batches[2:], k=K, workers=wk, depth=dp))
