@@ -434,6 +434,8 @@ class RetrievalEngine:
         device: bool = True,
         topc_recall: float = 0.0,
         align_windows: bool = True,
+        deep_terms: int = 0,
+        deep_cap: int = 0,
     ):
         self.text_index = text_index
         self.title_index = title_index
@@ -472,6 +474,25 @@ class RetrievalEngine:
         # pass-1 windows never read past this depth, so the device CSR is
         # built capped to it (full postings would be dead HBM weight)
         self.per_term_cap = max(1, self.posting_budget // self.rare_terms)
+        # DEEP WINDOWS (recall knob): extend the ``deep_terms`` RAREST
+        # selected terms' pass-1 windows to ``deep_cap`` postings. The
+        # r5 miss diagnosis at 4.19M docs: ~91% of residual top-10
+        # misses are docs carried by ONE mid-df selected term (median
+        # df ~8k) at impact rank 1.4k median / 4.8k p90 — past any
+        # uniform window, but reachable by deepening only the few
+        # rarest (df-ascending selection order) windows. Costs sort
+        # width (deep_terms*deep_cap extra keys) and CSR memory (the
+        # CSR stores min(df, deep_cap) postings per term). Unsharded
+        # pruned engines only.
+        self.deep_terms = int(deep_terms)
+        self.deep_cap = max(int(deep_cap), self.per_term_cap)
+        if self.deep_terms:
+            if mode != "pruned" or mesh is not None:
+                raise ValueError(
+                    "deep_terms>0 supports only the unsharded pruned "
+                    "engine")
+            if self.deep_terms > self.rare_terms:
+                raise ValueError("deep_terms must be <= rare_terms")
         # COMPACT ROWS: "tiny" text terms (df <= tiny_cap) are scored
         # EXACTLY on the host — their full posting lists are gathered from
         # the f32 host CSR, deduplicated per query, and shipped as one
@@ -647,7 +668,9 @@ class RetrievalEngine:
                     # terms (host-gathered exact block covers them), so
                     # their postings leave the device CSR entirely
                     off32, packed, clo, cstep = idx_obj.csr_rows_packed(
-                        cap=self.per_term_cap,
+                        cap=(self.deep_cap
+                             if self.deep_terms and name == "text"
+                             else self.per_term_cap),
                         min_df=(self.tiny_cap if name == "text" else 0),
                         align_windows=self._csr_aligned)
                     if name == "text":
@@ -1324,6 +1347,7 @@ class RetrievalEngine:
         mesh = self.mesh
         n_cand = self.n_candidates
         topc_recall = self.topc_recall
+        deep_terms, deep_cap = self.deep_terms, self.deep_cap
         with_exact = self.compact_rows
         tiny_pack = self._tiny_pack
         tiny_f16 = self.tiny_f16
@@ -1424,7 +1448,18 @@ class RetrievalEngine:
             rank_lo = csr_lo
             rank_step = csr_step + float(np.log(64.0)) / 254.0
             key_blocks = []
-            for rare, (off, pk, lo, step) in zip(rares, csrs):
+            for bi, (rare, (off, pk, lo, step)) in enumerate(
+                    zip(rares, csrs)):
+                if bi == 0 and deep_terms:
+                    # deep windows for the rarest selected terms
+                    # (selection is df-ascending, so columns [:D] are
+                    # the rarest); the text CSR is built at deep_cap
+                    key_blocks.append(gather_pruned_candidate_keys(
+                        rare[:, :deep_terms], off, pk, deep_cap,
+                        reencode=True, lo_src=lo, step_src=step,
+                        lo_dst=rank_lo, step_dst=rank_step,
+                        aligned=csr_aligned))
+                    rare = rare[:, deep_terms:]
                 key_blocks.append(gather_pruned_candidate_keys(
                     rare, off, pk, per_term_cap,
                     reencode=True, lo_src=lo, step_src=step,

@@ -526,3 +526,59 @@ def test_mix_search_pipelined_matches_serial(corpus_index):
                 for lang, d in rows[:5]]
         got = [(lang, d.doc_id, d.score) for lang, d in merged[qi]]
         assert got == want
+
+
+def test_deep_windows_recall_and_scores(corpus_index):
+    """deep_terms extends the RAREST selected terms' pass-1 windows to
+    deep_cap (r5 miss diagnosis: residual misses are docs carried by one
+    mid-df term past the uniform window). With deep windows covering the
+    full posting depth, a starved budget must recover the misses; scores
+    of commonly-returned docs stay identical to the shallow engine's
+    (pass 2 is untouched)."""
+    docs, index = corpus_index
+    rng = np.random.RandomState(11)
+    queries = [docs[i] for i in rng.randint(0, len(docs), 16)]
+
+    exact = RetrievalEngine(index, use_pallas=False, block_d=64)
+    # starved uniform windows: per_term_cap = 256//8 = 32 postings
+    shallow = RetrievalEngine(index, mode="pruned", rare_terms=8,
+                              posting_budget=256, n_candidates=128)
+    deep = RetrievalEngine(index, mode="pruned", rare_terms=8,
+                           posting_budget=256, n_candidates=128,
+                           deep_terms=4, deep_cap=1024)
+    assert deep.per_term_cap == shallow.per_term_cap == 32
+
+    def mean_recall(eng):
+        res = eng.search(queries, k=10)
+        r_exact = exact.search(queries, k=10)
+        recalls = []
+        for a, b in zip(r_exact, res):
+            want = {d.doc_id for d in a}
+            if want:
+                recalls.append(
+                    len(want & {d.doc_id for d in b}) / len(want))
+        return float(np.mean(recalls))
+
+    r_shallow, r_deep = mean_recall(shallow), mean_recall(deep)
+    assert r_deep >= r_shallow
+    assert r_deep >= 0.99, (r_shallow, r_deep)
+
+    # identical pass-2 scores for docs both engines return
+    rs, rd = shallow.search(queries, k=10), deep.search(queries, k=10)
+    for a, b in zip(rs, rd):
+        sa = {d.doc_id: d.score for d in a}
+        for d in b:
+            if d.doc_id in sa:
+                assert d.score == pytest.approx(sa[d.doc_id], rel=1e-6)
+
+
+def test_deep_windows_validation():
+    docs = make_corpus(n_docs=100, vocab=200, seed=9)
+    index = BM25Index.build(docs, params=BM25Params(quantize_norms=False),
+                            pad_docs_to=64)
+    with pytest.raises(ValueError, match="deep_terms"):
+        RetrievalEngine(index, mode="pruned", rare_terms=8,
+                        deep_terms=12, deep_cap=512)
+    with pytest.raises(ValueError, match="unsharded"):
+        RetrievalEngine(index, mode="exhaustive", deep_terms=2,
+                        deep_cap=512)
